@@ -1,0 +1,328 @@
+"""Narrowphase collision into static contact slots.
+
+The candidate pair list is a compile-time constant (broadphase is done by
+the model compiler from contype/conaffinity and body-filter rules, mirroring
+the behavioural contract of the engine the reference wraps). At trace time
+candidates are grouped by geom-type signature and each group is evaluated
+as one vmapped kernel, producing a fixed number of contact slots per pair.
+Inactive slots are masked, never pruned — shapes stay static for XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dm_control_tpu.models import constants
+from dm_control_tpu.models.types import Data, Model
+from dm_control_tpu.ops import math as mops
+
+_G = constants.GeomType
+
+_BIG = 1e10
+
+
+# Each primitive function: (pos1, mat1, size1, pos2, mat2, size2) ->
+#   (dist (K,), pos (K, 3), normal (K, 3)) with normal from geom1 to geom2.
+
+
+def _plane_sphere(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  h = jnp.dot(n, p2 - p1)
+  dist = h - s2[0]
+  pos = p2 - n * (h + s2[0]) * 0.5
+  return dist[None], pos[None], n[None]
+
+
+def _plane_capsule(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  axis = m2[:, 2]
+  r, half = s2[0], s2[1]
+  ends = jnp.stack([p2 + axis * half, p2 - axis * half])
+  h = ends @ n - jnp.dot(p1, n)
+  dist = h - r
+  pos = ends - n[None, :] * ((h + r) * 0.5)[:, None]
+  return dist, pos, jnp.stack([n, n])
+
+
+def _plane_box(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  # 8 corners
+  signs = jnp.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                     for sz in (-1, 1)], dtype=p2.dtype)
+  corners = p2 + (signs * s2[None, :3]) @ m2.T
+  h = corners @ n - jnp.dot(p1, n)
+  # four deepest corners
+  idx = jnp.argsort(h)[:4]
+  hh = h[idx]
+  pos = corners[idx] - n[None, :] * (hh * 0.5)[:, None]
+  return hh, pos, jnp.tile(n, (4, 1))
+
+
+def _plane_cylinder(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  axis = m2[:, 2]
+  r, half = s2[0], s2[1]
+  # pick the end cap facing the plane
+  sign = -jnp.sign(jnp.dot(n, axis) + 1e-12)
+  center = p2 + axis * half * sign
+  # rim direction: steepest descent along -n in the cap plane
+  t = -(n - axis * jnp.dot(n, axis))
+  tn = jnp.linalg.norm(t)
+  t = jnp.where(tn > 1e-8, t / jnp.maximum(tn, 1e-12),
+                mops.make_frame(axis)[1])
+  u = jnp.cross(axis, t)
+  pts = jnp.stack([center + r * t, center - r * t,
+                   center + r * u, center - r * u])
+  h = pts @ n - jnp.dot(p1, n)
+  pos = pts - n[None, :] * (h * 0.5)[:, None]
+  return h, pos, jnp.tile(n, (4, 1))
+
+
+def _plane_ellipsoid(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  nl = m2.T @ n                     # plane normal in ellipsoid frame
+  sn = s2 * nl
+  support = jnp.linalg.norm(sn)
+  # deepest point on the ellipsoid surface along -n
+  local = -(s2 * sn) / jnp.maximum(support, 1e-12)
+  point = p2 + m2 @ local
+  h = jnp.dot(n, point - p1)
+  pos = point - n * h * 0.5
+  return h[None], pos[None], n[None]
+
+
+def _sphere_sphere(p1, m1, s1, p2, m2, s2):
+  dif = p2 - p1
+  dist = jnp.linalg.norm(dif)
+  n = dif / jnp.maximum(dist, 1e-12)
+  n = jnp.where(dist < 1e-12, jnp.array([0.0, 0, 1], dtype=p1.dtype), n)
+  pen = dist - s1[0] - s2[0]
+  pos = p1 + n * (s1[0] + 0.5 * pen)
+  return pen[None], pos[None], n[None]
+
+
+def _sphere_capsule(p1, m1, s1, p2, m2, s2):
+  axis = m2[:, 2]
+  half = s2[1]
+  seg_pt = mops.closest_segment_point(p2 - axis * half, p2 + axis * half,
+                                      p1)
+  return _sphere_sphere(p1, m1, s1, seg_pt, m2, s2)
+
+
+def _sphere_cylinder(p1, m1, s1, p2, m2, s2):
+  # approximate: clamp sphere center to the cylinder's solid volume
+  local = m2.T @ (p1 - p2)
+  r, half = s2[0], s2[1]
+  rad = jnp.linalg.norm(local[:2])
+  clamped_xy = local[:2] * jnp.minimum(1.0, r / jnp.maximum(rad, 1e-12))
+  clamped = jnp.array([clamped_xy[0], clamped_xy[1],
+                       jnp.clip(local[2], -half, half)])
+  surf = p2 + m2 @ clamped
+  dif = surf - p1
+  dist = jnp.linalg.norm(dif)
+  n = dif / jnp.maximum(dist, 1e-12)
+  pen = dist - s1[0]
+  pos = surf - n * 0.5 * pen
+  return pen[None], pos[None], n[None]
+
+
+def _sphere_box(p1, m1, s1, p2, m2, s2):
+  local = m2.T @ (p1 - p2)
+  clamped = jnp.clip(local, -s2[:3], s2[:3])
+  inside = jnp.all(jnp.abs(local) < s2[:3])
+  # if inside, push out through the nearest face
+  gaps = s2[:3] - jnp.abs(local)
+  ax = jnp.argmin(gaps)
+  face = clamped.at[ax].set(jnp.sign(local[ax]) * s2[ax])
+  surface_local = jnp.where(inside, face, clamped)
+  surface = p2 + m2 @ surface_local
+  dif = surface - p1
+  dist = jnp.linalg.norm(dif)
+  n_out = dif / jnp.maximum(dist, 1e-12)
+  n = jnp.where(inside, -n_out, n_out)
+  pen = jnp.where(inside, -dist - s1[0], dist - s1[0])
+  pos = surface - n * 0.5 * pen
+  return pen[None], pos[None], n[None]
+
+
+def _capsule_capsule(p1, m1, s1, p2, m2, s2):
+  a1, h1 = m1[:, 2], s1[1]
+  a2, h2 = m2[:, 2], s2[1]
+  c1, c2 = mops.closest_segment_segment(
+      p1 - a1 * h1, p1 + a1 * h1, p2 - a2 * h2, p2 + a2 * h2)
+  d0, pos0, n0 = _sphere_sphere(c1, m1, s1, c2, m2, s2)
+  # second (inactive unless near-parallel deep) slot: midpoints projection
+  c1b = mops.closest_segment_point(p1 - a1 * h1, p1 + a1 * h1, c2)
+  mid1 = 0.5 * (c1 + p1)
+  c2b = mops.closest_segment_point(p2 - a2 * h2, p2 + a2 * h2, mid1)
+  c1c = mops.closest_segment_point(p1 - a1 * h1, p1 + a1 * h1, c2b)
+  d1, pos1, n1 = _sphere_sphere(c1c, m1, s1, c2b, m2, s2)
+  # suppress the second contact when it duplicates the first
+  dup = jnp.linalg.norm(pos1[0] - pos0[0]) < 0.25 * (s1[0] + s2[0])
+  d1 = jnp.where(dup, _BIG, d1)
+  return (jnp.concatenate([d0, d1]), jnp.concatenate([pos0, pos1]),
+          jnp.concatenate([n0, n1]))
+
+
+def _capsule_box(p1, m1, s1, p2, m2, s2):
+  # two sphere-box contacts at the capsule's closest interior points
+  a1, h1 = m1[:, 2], s1[1]
+  e1, e2 = p1 - a1 * h1, p1 + a1 * h1
+  # clamp segment endpoints toward the box center to find support points
+  local1 = m2.T @ (e1 - p2)
+  local2 = m2.T @ (e2 - p2)
+  d1 = jnp.linalg.norm(local1 / jnp.maximum(s2[:3], 1e-9), ord=jnp.inf)
+  d2 = jnp.linalg.norm(local2 / jnp.maximum(s2[:3], 1e-9), ord=jnp.inf)
+  da, posa, na = _sphere_box(e1, m1, s1, p2, m2, s2)
+  db, posb, nb = _sphere_box(e2, m1, s1, p2, m2, s2)
+  del d1, d2
+  return (jnp.concatenate([da, db]), jnp.concatenate([posa, posb]),
+          jnp.concatenate([na, nb]))
+
+
+def _capsule_cylinder(p1, m1, s1, p2, m2, s2):
+  # endpoint-sphere approximation
+  a1, h1 = m1[:, 2], s1[1]
+  da, posa, na = _sphere_cylinder(p1 - a1 * h1, m1, s1, p2, m2, s2)
+  db, posb, nb = _sphere_cylinder(p1 + a1 * h1, m1, s1, p2, m2, s2)
+  return (jnp.concatenate([da, db]), jnp.concatenate([posa, posb]),
+          jnp.concatenate([na, nb]))
+
+
+def _sphere_ellipsoid(p1, m1, s1, p2, m2, s2):
+  # iterative projection would be exact; use scaled-space approximation
+  local = m2.T @ (p1 - p2)
+  scaled = local / jnp.maximum(s2[:3], 1e-12)
+  nrm = jnp.linalg.norm(scaled)
+  surf_local = local / jnp.maximum(nrm, 1e-12)
+  surface = p2 + m2 @ surf_local
+  dif = p1 - surface
+  dist = jnp.linalg.norm(dif)
+  outside = nrm > 1.0
+  n = dif / jnp.maximum(dist, 1e-12) * jnp.where(outside, -1.0, 1.0)
+  pen = jnp.where(outside, dist, -dist) - s1[0]
+  pos = surface + n * 0.5 * (-pen)
+  return pen[None], pos[None], -n[None]
+
+
+_FUNCS = {
+    (_G.PLANE, _G.SPHERE): (_plane_sphere, 1),
+    (_G.PLANE, _G.CAPSULE): (_plane_capsule, 2),
+    (_G.PLANE, _G.ELLIPSOID): (_plane_ellipsoid, 1),
+    (_G.PLANE, _G.CYLINDER): (_plane_cylinder, 4),
+    (_G.PLANE, _G.BOX): (_plane_box, 4),
+    (_G.SPHERE, _G.SPHERE): (_sphere_sphere, 1),
+    (_G.SPHERE, _G.CAPSULE): (_sphere_capsule, 1),
+    (_G.SPHERE, _G.ELLIPSOID): (_sphere_ellipsoid, 1),
+    (_G.SPHERE, _G.CYLINDER): (_sphere_cylinder, 1),
+    (_G.SPHERE, _G.BOX): (_sphere_box, 1),
+    (_G.CAPSULE, _G.CAPSULE): (_capsule_capsule, 2),
+    (_G.CAPSULE, _G.CYLINDER): (_capsule_cylinder, 2),
+    (_G.CAPSULE, _G.BOX): (_capsule_box, 2),
+}
+
+
+def collision(m: Model, d: Data) -> Data:
+  """Run narrowphase over all candidate pairs; fill static contact slots."""
+  ncand = len(m.cpair_geom1)
+  con = d.contact
+  if ncand == 0:
+    return d
+
+  dtype = d.qpos.dtype
+  # group candidates by type signature
+  groups: Dict[Tuple[int, int], List[int]] = {}
+  for ci in range(ncand):
+    t1 = m.geom_type[m.cpair_geom1[ci]]
+    t2 = m.geom_type[m.cpair_geom2[ci]]
+    groups.setdefault((t1, t2), []).append(ci)
+
+  # slot start offset per candidate
+  slot_of = []
+  off = 0
+  for ci in range(ncand):
+    t1 = m.geom_type[m.cpair_geom1[ci]]
+    t2 = m.geom_type[m.cpair_geom2[ci]]
+    slot_of.append(off)
+    off += _FUNCS[(t1, t2)][1]
+
+  dist = jnp.full(m.ncon_max, _BIG, dtype=dtype)
+  pos = jnp.zeros((m.ncon_max, 3), dtype=dtype)
+  frame = jnp.tile(jnp.eye(3, dtype=dtype), (m.ncon_max, 1, 1))
+  imargin = jnp.zeros(m.ncon_max, dtype=dtype)
+  friction = jnp.ones((m.ncon_max, 5), dtype=dtype)
+  solref = jnp.tile(jnp.array([0.02, 1.0], dtype=dtype), (m.ncon_max, 1))
+  solimp = jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype),
+                    (m.ncon_max, 1))
+
+  for (t1, t2), cand in groups.items():
+    fn, k = _FUNCS[(t1, t2)]
+    g1 = jnp.array([m.cpair_geom1[ci] for ci in cand], dtype=jnp.int32)
+    g2 = jnp.array([m.cpair_geom2[ci] for ci in cand], dtype=jnp.int32)
+    dd, pp, nn = jax.vmap(fn)(
+        d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+        d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2])
+    # contact parameter merging per candidate
+    mrg, gap, fric, sref, simp = _merge_params(m, cand, dtype)
+    slots = jnp.array(
+        [slot_of[ci] + j for ci in cand for j in range(k)],
+        dtype=jnp.int32)
+    dist = dist.at[slots].set(dd.reshape(-1))
+    pos = pos.at[slots].set(pp.reshape(-1, 3))
+    frame = frame.at[slots].set(
+        mops.make_frame(nn.reshape(-1, 3)))
+    rep = lambda x: jnp.repeat(x, k, axis=0)
+    imargin = imargin.at[slots].set(rep(mrg - gap))
+    friction = friction.at[slots].set(rep(fric))
+    solref = solref.at[slots].set(rep(sref))
+    solimp = solimp.at[slots].set(rep(simp))
+
+  active = dist < imargin
+  con = con.replace(dist=dist, pos=pos, frame=frame,
+                    includemargin=imargin, friction=friction,
+                    solref=solref, solimp=solimp, active=active)
+  return d.replace(contact=con)
+
+
+def _merge_params(m: Model, cand: List[int], dtype):
+  """Merged contact params for a list of candidate pairs (traced)."""
+  mrgs, gaps, frics, srefs, simps = [], [], [], [], []
+  for ci in cand:
+    g1, g2 = m.cpair_geom1[ci], m.cpair_geom2[ci]
+    exp = m.cpair_explicit[ci]
+    if exp >= 0:
+      mrgs.append(m.xpair_margin[exp])
+      gaps.append(m.xpair_gap[exp])
+      frics.append(m.xpair_friction[exp])
+      srefs.append(m.xpair_solref[exp])
+      simps.append(m.xpair_solimp[exp])
+      continue
+    p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+    mrgs.append(jnp.maximum(m.geom_margin[g1], m.geom_margin[g2]))
+    gaps.append(jnp.maximum(m.geom_gap[g1], m.geom_gap[g2]))
+    if p1 != p2:
+      src = g1 if p1 > p2 else g2
+      f3 = m.geom_friction[src]
+      srefs.append(m.geom_solref[src])
+      simps.append(m.geom_solimp[src])
+    else:
+      f3 = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
+      # solmix weighting
+      s1, s2 = m.geom_solmix[g1], m.geom_solmix[g2]
+      tot = jnp.maximum(s1 + s2, 1e-12)
+      w1 = jnp.where((s1 < 1e-12) & (s2 < 1e-12), 0.5,
+                     jnp.where((s1 < 1e-12), 0.0,
+                               jnp.where(s2 < 1e-12, 1.0, s1 / tot)))
+      r1, r2 = m.geom_solref[g1], m.geom_solref[g2]
+      mix = w1 * r1 + (1 - w1) * r2
+      # direct (non-positive) solref: elementwise min
+      direct = (r1[0] <= 0) | (r2[0] <= 0)
+      srefs.append(jnp.where(direct, jnp.minimum(r1, r2), mix))
+      simps.append(w1 * m.geom_solimp[g1] + (1 - w1) * m.geom_solimp[g2])
+    frics.append(jnp.stack([f3[0], f3[0], f3[1], f3[2], f3[2]]))
+  return (jnp.stack(mrgs).astype(dtype), jnp.stack(gaps).astype(dtype),
+          jnp.stack(frics).astype(dtype), jnp.stack(srefs).astype(dtype),
+          jnp.stack(simps).astype(dtype))

@@ -1,0 +1,419 @@
+"""Constraint assembly and the primal Newton solver.
+
+Row layout is a compile-time constant (equality -> joint limits -> tendon
+limits -> contact rows), padded to `nefc_max`. Inactive rows participate
+with zero weight, keeping all shapes static.
+
+The solver minimizes the strictly convex piecewise-quadratic primal
+
+    0.5 (x - a0)' M (x - a0) + 0.5 sum_i D_i s_i(J_i x - aref_i)^2
+
+over qacc x, where s_i clamps inactive inequality rows, via damped Newton
+steps with an exact (piecewise-quadratic) line search — the same
+soft-constraint model the reference engine exposes through solref/solimp
+(see reference dm_control/mujoco/engine.py step semantics).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dm_control_tpu.models import constants
+from dm_control_tpu.models.types import Data, Model
+from dm_control_tpu.ops import math as mops
+from dm_control_tpu.ops import smooth
+
+_J = constants.JointType
+
+
+class _Rows(NamedTuple):
+  J: jax.Array        # (nefc, nv)
+  pos: jax.Array      # (nefc,) position residual
+  margin: jax.Array   # (nefc,)
+  solref: jax.Array   # (nefc, 2)
+  solimp: jax.Array   # (nefc, 5)
+  invweight: jax.Array  # (nefc,) diag approximation of J M^-1 J'
+  eq_mask: jax.Array  # (nefc,) 1.0 for always-active (equality) rows
+  slot_active: jax.Array  # (nefc,) 1.0 if row exists this step
+  frictionloss: jax.Array  # reserved
+
+
+def _impedance(solimp, pos):
+  """Constraint impedance d(pos) from solimp = (d0, dmax, width, mid, pw)."""
+  d0, dmax, width, mid, power = (solimp[:, 0], solimp[:, 1], solimp[:, 2],
+                                 solimp[:, 3], solimp[:, 4])
+  x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-12), 0.0, 1.0)
+  mid = jnp.clip(mid, 0.0001, 0.9999)
+  power = jnp.maximum(power, 1.0)
+  a = 1.0 / jnp.power(mid, power - 1.0)
+  b = 1.0 / jnp.power(1.0 - mid, power - 1.0)
+  y = jnp.where(x < mid,
+                a * jnp.power(x, power),
+                1.0 - b * jnp.power(1.0 - x, power))
+  d = d0 + y * (dmax - d0)
+  return jnp.clip(d, constants.MINIMP, constants.MAXIMP)
+
+
+def _kbip(solref, solimp, imp, pos_minus_margin, vel):
+  """Reference acceleration aref and regularizer R per row."""
+  dmax = solimp[:, 1]
+  timeconst = solref[:, 0]
+  dampratio = solref[:, 1]
+  std = timeconst > 0
+  b_std = 2.0 / jnp.maximum(dmax * timeconst, 1e-12)
+  k_std = 1.0 / jnp.maximum(
+      dmax * dmax * timeconst * timeconst * dampratio * dampratio, 1e-12)
+  b = jnp.where(std, b_std, -solref[:, 1])
+  k = jnp.where(std, k_std, -solref[:, 0])
+  aref = -b * vel - k * imp * pos_minus_margin
+  return aref
+
+
+def make_rows(m: Model, d: Data) -> _Rows:
+  """Assemble all constraint rows (trace-time static structure)."""
+  dtype = d.qpos.dtype
+  nv = m.nv
+  rows_J: List[jax.Array] = []
+  rows_pos: List[jax.Array] = []
+  rows_margin: List[jax.Array] = []
+  rows_solref: List[jax.Array] = []
+  rows_solimp: List[jax.Array] = []
+  rows_iw: List[jax.Array] = []
+  rows_eq: List[float] = []
+  rows_active: List[jax.Array] = []
+
+  one = jnp.ones((), dtype=dtype)
+  disable = m.opt.disableflags
+
+  def add(J, pos, margin, solref, solimp, iw, eq, active):
+    rows_J.append(J)
+    rows_pos.append(pos)
+    rows_margin.append(margin * one)
+    rows_solref.append(solref)
+    rows_solimp.append(solimp)
+    rows_iw.append(iw)
+    rows_eq.append(eq)
+    rows_active.append(active * one)
+
+  # ---------------- equality ----------------
+  if not (disable & constants.DisableBit.EQUALITY):
+    for e in range(m.neq):
+      et = m.eq_type[e]
+      act = m.eq_active0[e]
+      if et == constants.EqType.CONNECT:
+        b1, b2 = m.eq_obj1id[e], m.eq_obj2id[e]
+        anchor = m.eq_data[e, :3].astype(dtype)
+        p1 = d.xpos[b1] + d.xmat[b1] @ anchor
+        p2 = d.xpos[b2] + d.xmat[b2] @ (
+            d.xmat[b2].T @ (p1 - d.xpos[b2]))  # placeholder same point
+        # anchor defined in body1 frame; body2 side uses its own mapping
+        # of the world point at qpos0 — standard connect keeps both
+        # points coincident; here anchor2 = anchor expressed in body2.
+        p2 = d.xpos[b2] + d.xmat[b2] @ m.eq_data[e, 3:6].astype(dtype)
+        jac1p, _ = smooth.jac(m, d, p1, b1)
+        jac2p, _ = smooth.jac(m, d, p2, b2)
+        jdiff = jac1p - jac2p
+        cpos = p1 - p2
+        iw = (m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
+        for i in range(3):
+          add(jdiff[i], cpos[i], 0.0, m.eq_solref[e], m.eq_solimp[e],
+              iw, 1.0, act)
+      elif et == constants.EqType.WELD:
+        b1, b2 = m.eq_obj1id[e], m.eq_obj2id[e]
+        relpos = m.eq_data[e, 3:6].astype(dtype)
+        relquat = m.eq_data[e, 6:10].astype(dtype)
+        p1 = d.xpos[b1]
+        p2 = d.xpos[b2] + d.xmat[b2] @ relpos
+        jac1p, jac1r = smooth.jac(m, d, p1, b1)
+        jac2p, jac2r = smooth.jac(m, d, p2, b2)
+        cpos = p1 - p2
+        iw_t = (m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
+        iw_r = (m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1])
+        for i in range(3):
+          add((jac1p - jac2p)[i], cpos[i], 0.0, m.eq_solref[e],
+              m.eq_solimp[e], iw_t, 1.0, act)
+        # orientation residual
+        q2 = mops.mul_quat(d.xquat[b2], relquat)
+        qdif = mops.quat_sub(d.xquat[b1], q2)
+        torquescale = m.eq_data[e, 10].astype(dtype)
+        for i in range(3):
+          add((jac1r - jac2r)[i] * torquescale, qdif[i] * torquescale,
+              0.0, m.eq_solref[e], m.eq_solimp[e], iw_r, 1.0, act)
+      elif et == constants.EqType.JOINT:
+        j1 = m.eq_obj1id[e]
+        j2 = m.eq_obj2id[e]
+        poly = m.eq_data[e, :5].astype(dtype)
+        q1adr, v1adr = m.jnt_qposadr[j1], m.jnt_dofadr[j1]
+        J = jnp.zeros(nv, dtype=dtype).at[v1adr].set(1.0)
+        if j2 >= 0:
+          q2adr, v2adr = m.jnt_qposadr[j2], m.jnt_dofadr[j2]
+          dif = d.qpos[q2adr] - m.qpos0[q2adr]
+          powers = jnp.stack([dif ** i for i in range(5)])
+          rhs = poly @ powers
+          deriv = poly[1:] @ jnp.stack(
+              [i * dif ** (i - 1) for i in range(1, 5)])
+          J = J.at[v2adr].set(-deriv)
+          pos = d.qpos[q1adr] - m.qpos0[q1adr] - rhs
+          iw = m.dof_invweight0[v1adr] + m.dof_invweight0[v2adr]
+        else:
+          pos = d.qpos[q1adr] - m.qpos0[q1adr] - poly[0]
+          iw = m.dof_invweight0[v1adr]
+        add(J, pos, 0.0, m.eq_solref[e], m.eq_solimp[e], iw, 1.0, act)
+      elif et == constants.EqType.TENDON:
+        t1 = m.eq_obj1id[e]
+        add(d.ten_J[t1], d.ten_length[t1] - m.tendon_length0[t1], 0.0,
+            m.eq_solref[e], m.eq_solimp[e], m.tendon_invweight0[t1],
+            1.0, act)
+
+  # ---------------- joint limits ----------------
+  if not (disable & constants.DisableBit.LIMIT):
+    for j in range(m.njnt):
+      if not m.jnt_limited[j]:
+        continue
+      jt = m.jnt_type[j]
+      qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+      if jt in (_J.HINGE, _J.SLIDE):
+        lo = d.qpos[qadr] - m.jnt_range[j, 0]
+        hi = m.jnt_range[j, 1] - d.qpos[qadr]
+        use_lo = lo < hi
+        dist = jnp.minimum(lo, hi)
+        sign = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
+        J = jnp.zeros(nv, dtype=dtype).at[vadr].set(1.0) * sign
+        active = (dist < m.jnt_margin[j]).astype(dtype)
+        add(J, dist, m.jnt_margin[j], m.jnt_solref[j], m.jnt_solimp[j],
+            m.dof_invweight0[vadr], 0.0, active)
+      elif jt == _J.BALL:
+        # limit on total rotation angle
+        q = d.qpos[qadr:qadr + 4]
+        axisangle = mops.quat_to_vel(q)
+        angle = jnp.linalg.norm(axisangle)
+        axis = axisangle / jnp.maximum(angle, 1e-12)
+        limit = jnp.maximum(jnp.abs(m.jnt_range[j, 0]),
+                            jnp.abs(m.jnt_range[j, 1]))
+        dist = limit - angle
+        J = jnp.zeros(nv, dtype=dtype)
+        for i in range(3):
+          J = J.at[vadr + i].set(-axis[i])
+        active = (dist < m.jnt_margin[j]).astype(dtype)
+        add(J, dist, m.jnt_margin[j], m.jnt_solref[j], m.jnt_solimp[j],
+            m.dof_invweight0[vadr], 0.0, active)
+
+  # ---------------- tendon limits ----------------
+  if not (disable & constants.DisableBit.LIMIT):
+    for t in range(m.ntendon):
+      if not m.tendon_limited[t]:
+        continue
+      lo = d.ten_length[t] - m.tendon_range[t, 0]
+      hi = m.tendon_range[t, 1] - d.ten_length[t]
+      use_lo = lo < hi
+      dist = jnp.minimum(lo, hi)
+      sign = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
+      J = d.ten_J[t] * sign
+      active = (dist < m.tendon_margin[t]).astype(dtype)
+      add(J, dist, m.tendon_margin[t], m.tendon_solref_lim[t],
+          m.tendon_solimp_lim[t], m.tendon_invweight0[t], 0.0, active)
+
+  # ---------------- contacts (pyramidal) ----------------
+  if not (disable & constants.DisableBit.CONTACT) and m.ncon_max:
+    con = d.contact
+    b1s = jnp.array([m.geom_bodyid[g] for g in con.geom1],
+                    dtype=jnp.int32)
+    b2s = jnp.array([m.geom_bodyid[g] for g in con.geom2],
+                    dtype=jnp.int32)
+    jac1p, jac1r = jax.vmap(
+        lambda p, b: smooth.jac_dyn(m, d, p, b))(con.pos, b1s)
+    jac2p, jac2r = jax.vmap(
+        lambda p, b: smooth.jac_dyn(m, d, p, b))(con.pos, b2s)
+    jn_all = jnp.einsum('sij,sjv->siv', con.frame, jac2p - jac1p)
+    jr_all = jnp.einsum('sij,sjv->siv', con.frame, jac2r - jac1r)
+    iw_all = (m.body_invweight0[b1s, 0] + m.body_invweight0[b2s, 0])
+    for s in range(m.ncon_max):
+      condim = con.dim[s]
+      dist = con.dist[s]
+      margin = con.includemargin[s]
+      active = con.active[s].astype(dtype)
+      iw = iw_all[s]
+      if condim == 1:
+        add(jn_all[s, 0], dist, margin, con.solref[s], con.solimp[s],
+            iw, 0.0, active)
+      else:
+        axes = [jn_all[s, 1], jn_all[s, 2]]
+        if condim >= 4:
+          axes.append(jr_all[s, 0])
+        if condim >= 6:
+          axes.append(jr_all[s, 1])
+          axes.append(jr_all[s, 2])
+        for k, jt_row in enumerate(axes[:condim - 1]):
+          mu = con.friction[s, k]
+          iw_pyr = iw * (1.0 + mu * mu) * 2.0
+          add(jn_all[s, 0] + mu * jt_row, dist, margin, con.solref[s],
+              con.solimp[s], iw_pyr, 0.0, active)
+          add(jn_all[s, 0] - mu * jt_row, dist, margin, con.solref[s],
+              con.solimp[s], iw_pyr, 0.0, active)
+
+  if not rows_J:
+    z = jnp.zeros((0,), dtype=dtype)
+    return _Rows(jnp.zeros((0, nv), dtype=dtype), z, z,
+                 jnp.zeros((0, 2), dtype=dtype),
+                 jnp.zeros((0, 5), dtype=dtype), z, z, z, z)
+
+  return _Rows(
+      J=jnp.stack(rows_J),
+      pos=jnp.stack([jnp.asarray(p, dtype=dtype) for p in rows_pos]),
+      margin=jnp.stack(rows_margin),
+      solref=jnp.stack(rows_solref).astype(dtype),
+      solimp=jnp.stack(rows_solimp).astype(dtype),
+      invweight=jnp.stack(
+          [jnp.asarray(w, dtype=dtype) for w in rows_iw]),
+      eq_mask=jnp.asarray(rows_eq, dtype=dtype),
+      slot_active=jnp.stack(rows_active),
+      frictionloss=jnp.zeros(len(rows_J), dtype=dtype),
+  )
+
+
+def fwd_constraint(m: Model, d: Data) -> Data:
+  """Solve for constrained qacc via primal Newton iterations."""
+  if (m.opt.disableflags & constants.DisableBit.CONSTRAINT):
+    return d.replace(
+        qacc=d.qacc_smooth,
+        qfrc_constraint=jnp.zeros_like(d.qacc_smooth),
+        efc_force=jnp.zeros(m.nefc_max, dtype=d.qpos.dtype),
+        qacc_warmstart=d.qacc_smooth)
+
+  rows = make_rows(m, d)
+  nefc = rows.J.shape[0]
+  dtype = d.qpos.dtype
+  if nefc == 0:
+    return d.replace(
+        qacc=d.qacc_smooth,
+        qfrc_constraint=jnp.zeros_like(d.qacc_smooth),
+        efc_force=jnp.zeros(m.nefc_max, dtype=dtype),
+        qacc_warmstart=d.qacc_smooth)
+
+  # impedance, reference acceleration, regularizer
+  pmm = rows.pos - rows.margin
+  imp = _impedance(rows.solimp, pmm)
+  vel = rows.J @ d.qvel
+  aref = _kbip(rows.solref, rows.solimp, imp, pmm, vel)
+  r = jnp.maximum((1.0 - imp) / imp * rows.invweight, 1e-12)
+  dweight = jnp.where(rows.slot_active > 0, 1.0 / r, 0.0)
+
+  M = d.qM
+  a0 = d.qacc_smooth
+  J = rows.J
+  eq = rows.eq_mask > 0
+
+  def active_set(jar):
+    return jnp.where(eq | (jar < 0), dweight, 0.0)
+
+  def cost_grad_hess(x):
+    jar = J @ x - aref
+    w = active_set(jar)
+    grad = M @ (x - a0) + J.T @ (w * jar)
+    return jar, w, grad
+
+  # start from warmstart if it is finite and better than smooth
+  def cost_of(x):
+    jar = J @ x - aref
+    w = active_set(jar)
+    dv = x - a0
+    return 0.5 * dv @ (M @ dv) + 0.5 * jnp.sum(w * jar * jar)
+
+  ws = jnp.where(jnp.all(jnp.isfinite(d.qacc_warmstart)),
+                 d.qacc_warmstart, a0)
+  x = jnp.where(cost_of(ws) < cost_of(a0), ws, a0)
+
+  def body(carry, _):
+    x, _ = carry
+    jar, w, grad = cost_grad_hess(x)
+    H = M + (J.T * w) @ J
+    L = jnp.linalg.cholesky(H)
+    y = jax.scipy.linalg.solve_triangular(L, grad, lower=True)
+    p = -jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    # exact line search on the piecewise quadratic phi(alpha)
+    jp = J @ p
+    pMp = p @ (M @ p)
+    pM_dx = p @ (M @ (x - a0))
+
+    def ls_body(alpha, _):
+      ra = jar + alpha * jp
+      w_a = active_set(ra)
+      dphi = pM_dx + alpha * pMp + jnp.sum(w_a * ra * jp)
+      ddphi = pMp + jnp.sum(w_a * jp * jp)
+      return alpha - dphi / jnp.maximum(ddphi, 1e-12), None
+
+    alpha, _ = jax.lax.scan(ls_body, jnp.ones((), dtype=dtype),
+                            None, length=m.opt.ls_iterations)
+    alpha = jnp.clip(alpha, 0.0, 4.0)
+    x_new = x + alpha * p
+    improved = cost_of(x_new) < cost_of(x)
+    x = jnp.where(improved, x_new, x)
+    gnorm = jnp.linalg.norm(grad)
+    return (x, gnorm), None
+
+  (x, gnorm), _ = jax.lax.scan(
+      body, (x, jnp.zeros((), dtype=dtype)), None,
+      length=m.opt.solver_iterations)
+
+  jar = J @ x - aref
+  w = active_set(jar)
+  force = -w * jar
+  qfrc_constraint = J.T @ force
+
+  efc_force = jnp.zeros(m.nefc_max, dtype=dtype)
+  efc_force = efc_force.at[:nefc].set(force)
+
+  # per-contact forces in contact frame (normal, t1, t2) for sensors
+  confrc = _contact_forces(m, d, force, dtype)
+
+  return d.replace(
+      qacc=x, qfrc_constraint=qfrc_constraint, efc_force=efc_force,
+      qacc_warmstart=x,
+      contact=d.contact.replace(force=confrc))
+
+
+def _contact_forces(m: Model, d: Data, force: jax.Array, dtype):
+  """Recover per-slot contact-frame forces from pyramid row forces."""
+  confrc = jnp.zeros((m.ncon_max, 3), dtype=dtype)
+  if m.ncon_max == 0:
+    return confrc
+  # contact rows start after equality + limit rows
+  base = _num_noncontact_rows(m)
+  idx = base
+  for s in range(m.ncon_max):
+    condim = d.contact.dim[s]
+    if condim == 1:
+      fn = force[idx]
+      confrc = confrc.at[s, 0].set(fn)
+      idx += 1
+    else:
+      naxes = condim - 1
+      fn = jnp.zeros((), dtype=dtype)
+      for k in range(min(naxes, 2)):
+        fp = force[idx + 2 * k]
+        fm = force[idx + 2 * k + 1]
+        fn = fn + fp + fm
+        mu = d.contact.friction[s, k]
+        confrc = confrc.at[s, 1 + k].set(mu * (fp - fm))
+      for k in range(2, naxes):
+        fn = fn + force[idx + 2 * k] + force[idx + 2 * k + 1]
+      confrc = confrc.at[s, 0].set(fn)
+      idx += 2 * naxes
+  return confrc
+
+
+def _num_noncontact_rows(m: Model) -> int:
+  n = 0
+  if not (m.opt.disableflags & constants.DisableBit.EQUALITY):
+    for e in range(m.neq):
+      n += {int(constants.EqType.CONNECT): 3,
+            int(constants.EqType.WELD): 6,
+            int(constants.EqType.JOINT): 1,
+            int(constants.EqType.TENDON): 1}[m.eq_type[e]]
+  if not (m.opt.disableflags & constants.DisableBit.LIMIT):
+    n += sum(1 for j in range(m.njnt) if m.jnt_limited[j])
+    n += sum(1 for t in range(m.ntendon) if m.tendon_limited[t])
+  return n

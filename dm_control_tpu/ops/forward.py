@@ -1,0 +1,291 @@
+"""Forward dynamics pipeline and integrators.
+
+`forward(m, d)` mirrors the semantic stages of the reference engine step
+(reference: dm_control/mujoco/engine.py:147-176, 335-343 — position,
+velocity, actuation, acceleration, constraint), re-expressed as a pure
+function pipeline on the Data pytree. `step(m, d)` = forward + integrate
+(semi-implicit Euler with implicit joint damping, or RK4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dm_control_tpu.models import constants
+from dm_control_tpu.models.types import Data, Model
+from dm_control_tpu.ops import collision as coll
+from dm_control_tpu.ops import constraint
+from dm_control_tpu.ops import math as mops
+from dm_control_tpu.ops import sensor as sensor_ops
+from dm_control_tpu.ops import smooth
+
+_J = constants.JointType
+
+
+# ---------------------------------------------------------------------------
+# pipeline stages
+# ---------------------------------------------------------------------------
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+  d = smooth.kinematics(m, d)
+  d = smooth.com_pos(m, d)
+  d = smooth.tendon(m, d)
+  d = smooth.crb(m, d)
+  d = smooth.factor_m(m, d)
+  if not (m.opt.disableflags & constants.DisableBit.CONTACT):
+    d = coll.collision(m, d)
+  d = smooth.transmission(m, d)
+  return d
+
+
+def fwd_velocity(m: Model, d: Data) -> Data:
+  d = smooth.com_vel(m, d)
+  d = smooth.tendon_vel(m, d)
+  if m.nu:
+    d = d.replace(actuator_velocity=d.actuator_moment @ d.qvel)
+  d = smooth.rne(m, d)
+  d = smooth.passive(m, d)
+  return d
+
+
+def fwd_actuation(m: Model, d: Data) -> Data:
+  dtype = d.qpos.dtype
+  if not m.nu or (m.opt.disableflags & constants.DisableBit.ACTUATION):
+    return d.replace(
+        qfrc_actuator=jnp.zeros(m.nv, dtype=dtype),
+        actuator_force=jnp.zeros(m.nu, dtype=dtype),
+        act_dot=jnp.zeros(m.na, dtype=dtype))
+
+  ctrl = d.ctrl
+  if not (m.opt.disableflags & constants.DisableBit.CLAMPCTRL):
+    limited = jnp.array(m.actuator_ctrllimited, dtype=bool)
+    clamped = jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
+                       m.actuator_ctrlrange[:, 1])
+    ctrl = jnp.where(limited, clamped, ctrl)
+
+  # activation dynamics
+  act_dot = jnp.zeros(m.na, dtype=dtype)
+  inputs = []
+  for u in range(m.nu):
+    dt = m.actuator_dyntype[u]
+    if dt == constants.DynType.NONE:
+      inputs.append(ctrl[u])
+    else:
+      adr = m.actuator_actadr[u]
+      a = d.act[adr]
+      if dt == constants.DynType.INTEGRATOR:
+        act_dot = act_dot.at[adr].set(ctrl[u])
+      elif dt in (constants.DynType.FILTER,
+                  constants.DynType.FILTEREXACT):
+        tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
+        act_dot = act_dot.at[adr].set((ctrl[u] - a) / tau)
+      inputs.append(a)
+  input_vec = jnp.stack(inputs)
+
+  # gain / bias
+  length = d.actuator_length
+  velocity = d.actuator_velocity
+  gaintype = jnp.array(m.actuator_gaintype)
+  gain = jnp.where(
+      gaintype == constants.GainType.FIXED,
+      m.actuator_gainprm[:, 0],
+      m.actuator_gainprm[:, 0] + m.actuator_gainprm[:, 1] * length +
+      m.actuator_gainprm[:, 2] * velocity)
+  biastype = jnp.array(m.actuator_biastype)
+  bias = jnp.where(
+      biastype == constants.BiasType.NONE,
+      jnp.zeros(m.nu, dtype=dtype),
+      m.actuator_biasprm[:, 0] + m.actuator_biasprm[:, 1] * length +
+      m.actuator_biasprm[:, 2] * velocity)
+  force = gain * input_vec + bias
+
+  flimited = jnp.array(m.actuator_forcelimited, dtype=bool)
+  fclamped = jnp.clip(force, m.actuator_forcerange[:, 0],
+                      m.actuator_forcerange[:, 1])
+  force = jnp.where(flimited, fclamped, force)
+
+  qfrc = d.actuator_moment.T @ force
+  return d.replace(actuator_force=force, qfrc_actuator=qfrc,
+                   act_dot=act_dot)
+
+
+def fwd_acceleration(m: Model, d: Data) -> Data:
+  dtype = d.qpos.dtype
+  qfrc_applied_total = d.qfrc_applied
+  # map world-frame body wrenches [force(3), torque(3)] at xipos to dofs
+  if m.nbody > 1:
+    frc = d.xfrc_applied[:, :3]
+    trq = d.xfrc_applied[:, 3:]
+    rootid = jnp.array(m.body_rootid, dtype=jnp.int32)
+    offset = d.xipos - d.subtree_com[rootid]
+    fs = jnp.concatenate([trq + jnp.cross(offset, frc), frc], axis=-1)
+    ftot = m.subtree_mask @ fs
+    dofbody = jnp.array(m.dof_bodyid, dtype=jnp.int32)
+    qfrc_applied_total = qfrc_applied_total + jnp.einsum(
+        'vi,vi->v', d.cdof, ftot[dofbody])
+
+  qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator +
+                 qfrc_applied_total)
+  qacc_smooth = smooth.solve_m(m, d, qfrc_smooth)
+  return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+def forward_core(m: Model, d: Data) -> Data:
+  d = fwd_position(m, d)
+  d = fwd_velocity(m, d)
+  d = fwd_actuation(m, d)
+  d = fwd_acceleration(m, d)
+  d = constraint.fwd_constraint(m, d)
+  return d
+
+
+def forward(m: Model, d: Data) -> Data:
+  """Full forward dynamics incl. sensors and energy."""
+  d = forward_core(m, d)
+  d = sensor_ops.sensors(m, d)
+  if m.opt.enableflags & constants.EnableBit.ENERGY:
+    d = energy(m, d)
+  d = _check_health(m, d)
+  return d
+
+
+def energy(m: Model, d: Data) -> Data:
+  dtype = d.qpos.dtype
+  gravity = m.opt.gravity.astype(dtype)
+  pot = -jnp.sum(m.body_mass * (d.xipos @ gravity))
+  # joint springs
+  for j in range(m.njnt):
+    k = m.jnt_stiffness[j]
+    qadr = m.jnt_qposadr[j]
+    jt = m.jnt_type[j]
+    if jt in (_J.HINGE, _J.SLIDE):
+      dif = d.qpos[qadr] - m.qpos_spring[qadr]
+      pot = pot + 0.5 * k * dif * dif
+    elif jt == _J.BALL:
+      dif = mops.quat_sub(d.qpos[qadr:qadr + 4],
+                          m.qpos_spring[qadr:qadr + 4])
+      pot = pot + 0.5 * k * jnp.sum(dif * dif)
+    else:
+      dif = d.qpos[qadr:qadr + 3] - m.qpos_spring[qadr:qadr + 3]
+      pot = pot + 0.5 * k * jnp.sum(dif * dif)
+      difq = mops.quat_sub(d.qpos[qadr + 3:qadr + 7],
+                           m.qpos_spring[qadr + 3:qadr + 7])
+      pot = pot + 0.5 * k * jnp.sum(difq * difq)
+  if m.ntendon:
+    ref = jnp.where(m.tendon_lengthspring[:, 0] < 0,
+                    m.tendon_length0, m.tendon_lengthspring[:, 0])
+    dif = d.ten_length - ref
+    pot = pot + 0.5 * jnp.sum(m.tendon_stiffness * dif * dif)
+  kin = 0.5 * d.qvel @ (d.qM @ d.qvel)
+  return d.replace(energy=jnp.stack([pot, kin]))
+
+
+def _check_health(m: Model, d: Data) -> Data:
+  bad = jnp.zeros((), dtype=bool)
+  for x in (d.qpos, d.qvel, d.qacc):
+    bad = bad | ~jnp.all(jnp.isfinite(x))
+  bad = bad | jnp.any(jnp.abs(d.qacc) > 1e10)
+  bad = bad | jnp.any(jnp.abs(d.qvel) > 1e10)
+  return d.replace(divergence=bad)
+
+
+# ---------------------------------------------------------------------------
+# integration
+# ---------------------------------------------------------------------------
+
+
+def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
+                  dt) -> jax.Array:
+  """Quaternion-aware position integration (mj_integratePos)."""
+  out = qpos
+  for j in range(m.njnt):
+    jt = m.jnt_type[j]
+    qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+    if jt == _J.FREE:
+      out = out.at[qadr:qadr + 3].set(
+          qpos[qadr:qadr + 3] + dt * qvel[vadr:vadr + 3])
+      q = mops.quat_integrate(qpos[qadr + 3:qadr + 7],
+                              qvel[vadr + 3:vadr + 6], dt)
+      out = out.at[qadr + 3:qadr + 7].set(q)
+    elif jt == _J.BALL:
+      q = mops.quat_integrate(qpos[qadr:qadr + 4],
+                              qvel[vadr:vadr + 3], dt)
+      out = out.at[qadr:qadr + 4].set(q)
+    else:
+      out = out.at[qadr].set(qpos[qadr] + dt * qvel[vadr])
+  return out
+
+
+def _advance(m: Model, d: Data, qacc: jax.Array,
+             act_dot: jax.Array) -> Data:
+  dt = m.opt.timestep.astype(d.qpos.dtype)
+  qvel = d.qvel + dt * qacc
+  qpos = integrate_pos(m, d.qpos, qvel, dt)
+  act = d.act + dt * act_dot
+  if m.na:
+    limited = jnp.array(
+        [m.actuator_actlimited[u] for u in range(m.nu)
+         for _ in range(m.actuator_actnum[u])], dtype=bool)
+    lo = jnp.concatenate(
+        [jnp.repeat(m.actuator_actrange[u:u + 1, 0],
+                    m.actuator_actnum[u]) for u in range(m.nu)]) if any(
+                        m.actuator_actnum) else jnp.zeros(0)
+    hi = jnp.concatenate(
+        [jnp.repeat(m.actuator_actrange[u:u + 1, 1],
+                    m.actuator_actnum[u]) for u in range(m.nu)]) if any(
+                        m.actuator_actnum) else jnp.zeros(0)
+    act = jnp.where(limited, jnp.clip(act, lo, hi), act)
+  return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + dt)
+
+
+def _euler(m: Model, d: Data) -> Data:
+  """Semi-implicit Euler with implicit-in-velocity joint damping."""
+  dt = m.opt.timestep.astype(d.qpos.dtype)
+  # implicit damping solve: (M + h diag(damping)) qacc' = qfrc_total
+  qfrc = d.qfrc_smooth + d.qfrc_constraint
+  mhd = d.qM + dt * jnp.diag(m.dof_damping)
+  lh = jnp.linalg.cholesky(mhd)
+  y = jax.scipy.linalg.solve_triangular(lh, qfrc, lower=True)
+  qacc_int = jax.scipy.linalg.solve_triangular(lh.T, y, lower=False)
+  return _advance(m, d, qacc_int, d.act_dot)
+
+
+_RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
+_RK4_B = (1.0 / 6, 1.0 / 3, 1.0 / 3, 1.0 / 6)
+
+
+def _rk4(m: Model, d: Data) -> Data:
+  dt = m.opt.timestep.astype(d.qpos.dtype)
+  d0 = d
+  kv = [d.qvel]
+  ka = [d.qacc]
+  kad = [d.act_dot]
+  for i, arow in enumerate(_RK4_A):
+    # stage state
+    dq = sum(a * v for a, v in zip(arow, kv) if a)
+    dv = sum(a * acc for a, acc in zip(arow, ka) if a)
+    dact = sum(a * ad for a, ad in zip(arow, kad) if a)
+    qpos = integrate_pos(m, d0.qpos, dq, dt)
+    di = d0.replace(qpos=qpos, qvel=d0.qvel + dt * dv,
+                    act=d0.act + dt * dact if m.na else d0.act)
+    di = forward_core(m, di)
+    kv.append(di.qvel)
+    ka.append(di.qacc)
+    kad.append(di.act_dot)
+  vbar = sum(b * v for b, v in zip(_RK4_B, kv))
+  abar = sum(b * a for b, a in zip(_RK4_B, ka))
+  adbar = sum(b * ad for b, ad in zip(_RK4_B, kad))
+  qpos = integrate_pos(m, d0.qpos, vbar, dt)
+  qvel = d0.qvel + dt * abar
+  act = d0.act + dt * adbar if m.na else d0.act
+  return d0.replace(qpos=qpos, qvel=qvel, act=act, time=d0.time + dt)
+
+
+def step(m: Model, d: Data) -> Data:
+  """One simulation step: forward dynamics + integration."""
+  d = forward(m, d)
+  if m.opt.integrator == constants.IntegratorType.RK4:
+    return _rk4(m, d)
+  return _euler(m, d)
