@@ -437,7 +437,11 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
     nefc_max += 1 if dim == 1 else 2 * (dim - 1)
 
   # ---------------- assemble ----------------
-  f = lambda x: jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
+  # Leaves stay as HOST numpy arrays: they are valid pytree leaves,
+  # convert to device tracers at jit boundaries, and avoid per-field
+  # eager dispatch at compile time (critical on slow hosts).
+  np_dtype = np.dtype(jnp.dtype(dtype).name)
+  f = lambda x: np.asarray(x, dtype=np_dtype)
 
   opt = types.Option(
       timestep=f(c.option['timestep']),

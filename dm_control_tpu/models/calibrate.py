@@ -119,11 +119,11 @@ def calibrate(m: types.Model) -> types.Model:
           eq_data[e, 3:6] = relpos
           eq_data[e, 6:10] = relquat
 
-  dtype = m.qpos0.dtype
+  dtype = np.asarray(m.qpos0).dtype
   return m.replace(
-      dof_invweight0=jnp.asarray(dof_invweight0, dtype=dtype),
-      body_invweight0=jnp.asarray(body_invweight0, dtype=dtype),
-      tendon_invweight0=jnp.asarray(tendon_invweight0, dtype=dtype),
-      tendon_length0=jnp.asarray(tendon_length0, dtype=dtype),
-      eq_data=jnp.asarray(eq_data, dtype=dtype),
+      dof_invweight0=np.asarray(dof_invweight0, dtype=dtype),
+      body_invweight0=np.asarray(body_invweight0, dtype=dtype),
+      tendon_invweight0=np.asarray(tendon_invweight0, dtype=dtype),
+      tendon_length0=np.asarray(tendon_length0, dtype=dtype),
+      eq_data=np.asarray(eq_data, dtype=dtype),
   )

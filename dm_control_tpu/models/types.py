@@ -398,41 +398,49 @@ class Data(_Base):
 
 
 def make_data(m: Model, dtype=jnp.float32) -> Data:
-  """Allocate a fresh Data at qpos0 for model m."""
-  z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+  """Allocate a fresh Data at qpos0 for model m.
+
+  Leaves are host numpy arrays (zero eager dispatch); they convert to
+  device arrays at the first jit boundary.
+  """
+  import numpy as np
+  npdt = np.dtype(jnp.dtype(dtype).name)
+  z = lambda *shape: np.zeros(shape, dtype=npdt)
   nb, nv, nq = m.nbody, m.nv, m.nq
   ncon = m.ncon_max
-  ident_quat = jnp.tile(
-      jnp.array([1.0, 0, 0, 0], dtype=dtype), (nb, 1))
-  ident_mat = jnp.tile(jnp.eye(3, dtype=dtype), (nb, 1, 1))
+  ident_quat = np.tile(
+      np.array([1.0, 0, 0, 0], dtype=npdt), (nb, 1))
+  ident_mat = np.tile(np.eye(3, dtype=npdt), (nb, 1, 1))
   contact = Contact(
       dist=z(ncon), pos=z(ncon, 3),
-      frame=jnp.tile(jnp.eye(3, dtype=dtype), (ncon, 1, 1)),
-      includemargin=z(ncon), friction=jnp.ones((ncon, 5), dtype=dtype),
-      solref=jnp.tile(jnp.array([0.02, 1.0], dtype=dtype), (ncon, 1)),
-      solimp=jnp.tile(
-          jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype), (ncon, 1)),
-      active=jnp.zeros(ncon, dtype=bool),
+      frame=np.tile(np.eye(3, dtype=npdt), (ncon, 1, 1)),
+      includemargin=z(ncon), friction=np.ones((ncon, 5), dtype=npdt),
+      solref=np.tile(np.array([0.02, 1.0], dtype=npdt), (ncon, 1)),
+      solimp=np.tile(
+          np.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=npdt), (ncon, 1)),
+      active=np.zeros(ncon, dtype=bool),
       force=z(ncon, 3),
       geom1=m.pair_geom1, geom2=m.pair_geom2, dim=m.pair_condim)
   nmocap = max(m.nmocap, 1)
   return Data(
-      time=jnp.zeros((), dtype=dtype),
-      qpos=jnp.asarray(m.qpos0, dtype=dtype),
+      time=np.zeros((), dtype=npdt),
+      qpos=(np.asarray(m.qpos0, dtype=npdt)
+            if isinstance(m.qpos0, np.ndarray)
+            else jnp.asarray(m.qpos0, dtype=dtype)),
       qvel=z(nv), act=z(m.na), ctrl=z(m.nu), qacc=z(nv),
       qacc_warmstart=z(nv),
       qfrc_applied=z(nv), xfrc_applied=z(nb, 6),
       mocap_pos=z(nmocap, 3),
-      mocap_quat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype),
-                          (nmocap, 1)),
+      mocap_quat=np.tile(np.array([1.0, 0, 0, 0], dtype=npdt),
+                         (nmocap, 1)),
       xpos=z(nb, 3), xquat=ident_quat, xmat=ident_mat,
       xipos=z(nb, 3), ximat=ident_mat,
       xanchor=z(m.njnt, 3), xaxis=z(m.njnt, 3),
       geom_xpos=z(m.ngeom, 3),
-      geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.ngeom, 1, 1)),
+      geom_xmat=np.tile(np.eye(3, dtype=npdt), (m.ngeom, 1, 1)),
       site_xpos=z(m.nsite, 3),
-      site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (max(m.nsite, 1), 1, 1))[
-          :m.nsite],
+      site_xmat=np.tile(np.eye(3, dtype=npdt),
+                        (max(m.nsite, 1), 1, 1))[:m.nsite],
       subtree_com=z(nb, 3),
       cinert=z(nb, 6, 6), cdof=z(nv, 6),
       qM=z(nv, nv), qLD=z(nv, nv),
@@ -447,6 +455,6 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
       efc_force=z(m.nefc_max),
       cacc=z(nb, 6), cfrc_int=z(nb, 6),
       sensordata=z(m.nsensordata), energy=z(2),
-      divergence=jnp.zeros((), dtype=bool),
-      solver_niter=jnp.zeros((), dtype=jnp.int32),
+      divergence=np.zeros((), dtype=bool),
+      solver_niter=np.zeros((), dtype=np.int32),
   )

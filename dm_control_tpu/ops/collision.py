@@ -262,9 +262,10 @@ def collision(m: Model, d: Data) -> Data:
     fn, k = _FUNCS[(t1, t2)]
     g1 = jnp.array([m.cpair_geom1[ci] for ci in cand], dtype=jnp.int32)
     g2 = jnp.array([m.cpair_geom2[ci] for ci in cand], dtype=jnp.int32)
+    gsize = jnp.asarray(m.geom_size)
     dd, pp, nn = jax.vmap(fn)(
-        d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
-        d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2])
+        d.geom_xpos[g1], d.geom_xmat[g1], gsize[g1],
+        d.geom_xpos[g2], d.geom_xmat[g2], gsize[g2])
     # contact parameter merging per candidate
     mrg, gap, fric, sref, simp = _merge_params(m, cand, dtype)
     slots = jnp.array(

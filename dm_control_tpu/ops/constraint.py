@@ -57,11 +57,15 @@ def _impedance(solimp, pos):
   return jnp.clip(d, constants.MINIMP, constants.MAXIMP)
 
 
-def _kbip(solref, solimp, imp, pos_minus_margin, vel):
+def _kbip(m, solref, solimp, imp, pos_minus_margin, vel):
   """Reference acceleration aref and regularizer R per row."""
   dmax = solimp[:, 1]
   timeconst = solref[:, 0]
   dampratio = solref[:, 1]
+  if not (m.opt.disableflags & constants.DisableBit.REFSAFE):
+    # refsafe: keep the virtual spring resolvable at this timestep
+    timeconst = jnp.maximum(timeconst, 2.0 * m.opt.timestep.astype(
+        timeconst.dtype))
   std = timeconst > 0
   b_std = 2.0 / jnp.maximum(dmax * timeconst, 1e-12)
   k_std = 1.0 / jnp.maximum(
@@ -229,7 +233,8 @@ def make_rows(m: Model, d: Data) -> _Rows:
         lambda p, b: smooth.jac_dyn(m, d, p, b))(con.pos, b2s)
     jn_all = jnp.einsum('sij,sjv->siv', con.frame, jac2p - jac1p)
     jr_all = jnp.einsum('sij,sjv->siv', con.frame, jac2r - jac1r)
-    iw_all = (m.body_invweight0[b1s, 0] + m.body_invweight0[b2s, 0])
+    biw = jnp.asarray(m.body_invweight0)
+    iw_all = biw[b1s, 0] + biw[b2s, 0]
     for s in range(m.ncon_max):
       condim = con.dim[s]
       dist = con.dist[s]
@@ -297,7 +302,7 @@ def fwd_constraint(m: Model, d: Data) -> Data:
   pmm = rows.pos - rows.margin
   imp = _impedance(rows.solimp, pmm)
   vel = rows.J @ d.qvel
-  aref = _kbip(rows.solref, rows.solimp, imp, pmm, vel)
+  aref = _kbip(m, rows.solref, rows.solimp, imp, pmm, vel)
   r = jnp.maximum((1.0 - imp) / imp * rows.invweight, 1e-12)
   dweight = jnp.where(rows.slot_active > 0, 1.0 / r, 0.0)
 

@@ -261,7 +261,7 @@ def jac_dyn(m: Model, d: Data, point: jax.Array, bodyid: jax.Array):
   offset = point - d.subtree_com[rootid]
   ang = d.cdof[:, :3]
   lin = d.cdof[:, 3:] + jnp.cross(ang, offset[None, :])
-  mask = m.body_dof_mask[bodyid]
+  mask = jnp.asarray(m.body_dof_mask)[bodyid]
   return (lin * mask[:, None]).T, (ang * mask[:, None]).T
 
 
