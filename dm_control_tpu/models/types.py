@@ -424,9 +424,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
   nmocap = max(m.nmocap, 1)
   return Data(
       time=np.zeros((), dtype=npdt),
-      qpos=(np.asarray(m.qpos0, dtype=npdt)
-            if isinstance(m.qpos0, np.ndarray)
-            else jnp.asarray(m.qpos0, dtype=dtype)),
+      qpos=jnp.asarray(m.qpos0, dtype=dtype),
       qvel=z(nv), act=z(m.na), ctrl=z(m.nu), qacc=z(nv),
       qacc_warmstart=z(nv),
       qfrc_applied=z(nv), xfrc_applied=z(nb, 6),

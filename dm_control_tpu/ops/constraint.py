@@ -20,6 +20,7 @@ from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dm_control_tpu.models import constants
 from dm_control_tpu.models.types import Data, Model
@@ -220,7 +221,23 @@ def make_rows(m: Model, d: Data) -> _Rows:
       add(J, dist, m.tendon_margin[t], m.tendon_solref_lim[t],
           m.tendon_solimp_lim[t], m.tendon_invweight0[t], 0.0, active)
 
-  # ---------------- contacts (pyramidal) ----------------
+  # ---------------- stack non-contact rows ----------------
+  parts_J, parts_pos, parts_margin = [], [], []
+  parts_solref, parts_solimp, parts_iw = [], [], []
+  parts_eq, parts_active = [], []
+  if rows_J:
+    parts_J.append(jnp.stack(rows_J))
+    parts_pos.append(jnp.stack(
+        [jnp.asarray(p, dtype=dtype) for p in rows_pos]))
+    parts_margin.append(jnp.stack(rows_margin))
+    parts_solref.append(jnp.stack(rows_solref).astype(dtype))
+    parts_solimp.append(jnp.stack(rows_solimp).astype(dtype))
+    parts_iw.append(jnp.stack(
+        [jnp.asarray(w, dtype=dtype) for w in rows_iw]))
+    parts_eq.append(jnp.asarray(rows_eq, dtype=dtype))
+    parts_active.append(jnp.stack(rows_active))
+
+  # ---------------- contacts (pyramidal), vectorized by condim -------
   if not (disable & constants.DisableBit.CONTACT) and m.ncon_max:
     con = d.contact
     b1s = jnp.array([m.geom_bodyid[g] for g in con.geom1],
@@ -232,51 +249,80 @@ def make_rows(m: Model, d: Data) -> _Rows:
     jac2p, jac2r = jax.vmap(
         lambda p, b: smooth.jac_dyn(m, d, p, b))(con.pos, b2s)
     jn_all = jnp.einsum('sij,sjv->siv', con.frame, jac2p - jac1p)
-    jr_all = jnp.einsum('sij,sjv->siv', con.frame, jac2r - jac1r)
     biw = jnp.asarray(m.body_invweight0)
     iw_all = biw[b1s, 0] + biw[b2s, 0]
-    for s in range(m.ncon_max):
-      condim = con.dim[s]
-      dist = con.dist[s]
-      margin = con.includemargin[s]
-      active = con.active[s].astype(dtype)
-      iw = iw_all[s]
-      if condim == 1:
-        add(jn_all[s, 0], dist, margin, con.solref[s], con.solimp[s],
-            iw, 0.0, active)
-      else:
-        axes = [jn_all[s, 1], jn_all[s, 2]]
-        if condim >= 4:
-          axes.append(jr_all[s, 0])
-        if condim >= 6:
-          axes.append(jr_all[s, 1])
-          axes.append(jr_all[s, 2])
-        for k, jt_row in enumerate(axes[:condim - 1]):
-          mu = con.friction[s, k]
-          iw_pyr = iw * (1.0 + mu * mu) * 2.0
-          add(jn_all[s, 0] + mu * jt_row, dist, margin, con.solref[s],
-              con.solimp[s], iw_pyr, 0.0, active)
-          add(jn_all[s, 0] - mu * jt_row, dist, margin, con.solref[s],
-              con.solimp[s], iw_pyr, 0.0, active)
 
-  if not rows_J:
+    for c in _contact_condim_groups(m):
+      slots = np.array([s for s in range(m.ncon_max)
+                        if m.pair_condim[s] == c], dtype=np.int32)
+      k = len(slots)
+      dist = con.dist[slots]
+      margin = con.includemargin[slots]
+      active = con.active[slots].astype(dtype)
+      solref = con.solref[slots]
+      solimp = con.solimp[slots]
+      iw = iw_all[slots]
+      if c == 1:
+        parts_J.append(jn_all[slots, 0])
+        parts_pos.append(dist)
+        parts_margin.append(margin)
+        parts_solref.append(solref)
+        parts_solimp.append(solimp)
+        parts_iw.append(iw)
+        parts_eq.append(jnp.zeros(k, dtype=dtype))
+        parts_active.append(active)
+      else:
+        naxes = c - 1
+        axes = [jn_all[slots, 1], jn_all[slots, 2]]
+        if c >= 4:
+          jr_grp = jnp.einsum('sij,sjv->siv', con.frame[slots],
+                              (jac2r - jac1r)[slots])
+          axes.append(jr_grp[:, 0])
+          if c >= 6:
+            axes.append(jr_grp[:, 1])
+            axes.append(jr_grp[:, 2])
+        axes = jnp.stack(axes[:naxes], axis=1)        # (k, naxes, nv)
+        mu = con.friction[slots, :naxes]              # (k, naxes)
+        normal = jn_all[slots, 0][:, None, :]         # (k, 1, nv)
+        plus = normal + mu[..., None] * axes
+        minus = normal - mu[..., None] * axes
+        rows = jnp.stack([plus, minus], axis=2)       # (k, naxes, 2, nv)
+        rows = rows.reshape(k * naxes * 2, nv)
+        rep = lambda x: jnp.repeat(x, naxes * 2, axis=0)
+        parts_J.append(rows)
+        parts_pos.append(rep(dist))
+        parts_margin.append(rep(margin))
+        parts_solref.append(rep(solref))
+        parts_solimp.append(rep(solimp))
+        iw_pyr = (iw[:, None] * (1.0 + mu * mu) * 2.0)  # (k, naxes)
+        parts_iw.append(
+            jnp.repeat(iw_pyr.reshape(-1), 2, axis=0))
+        parts_eq.append(jnp.zeros(k * naxes * 2, dtype=dtype))
+        parts_active.append(rep(active))
+
+  if not parts_J:
     z = jnp.zeros((0,), dtype=dtype)
     return _Rows(jnp.zeros((0, nv), dtype=dtype), z, z,
                  jnp.zeros((0, 2), dtype=dtype),
                  jnp.zeros((0, 5), dtype=dtype), z, z, z, z)
 
+  cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
+  total = sum(int(p.shape[0]) for p in parts_J)
   return _Rows(
-      J=jnp.stack(rows_J),
-      pos=jnp.stack([jnp.asarray(p, dtype=dtype) for p in rows_pos]),
-      margin=jnp.stack(rows_margin),
-      solref=jnp.stack(rows_solref).astype(dtype),
-      solimp=jnp.stack(rows_solimp).astype(dtype),
-      invweight=jnp.stack(
-          [jnp.asarray(w, dtype=dtype) for w in rows_iw]),
-      eq_mask=jnp.asarray(rows_eq, dtype=dtype),
-      slot_active=jnp.stack(rows_active),
-      frictionloss=jnp.zeros(len(rows_J), dtype=dtype),
+      J=cat(parts_J),
+      pos=cat(parts_pos),
+      margin=cat(parts_margin),
+      solref=cat(parts_solref),
+      solimp=cat(parts_solimp),
+      invweight=cat(parts_iw),
+      eq_mask=cat(parts_eq),
+      slot_active=cat(parts_active),
+      frictionloss=jnp.zeros(total, dtype=dtype),
   )
+
+
+def _contact_condim_groups(m: Model):
+  return sorted(set(m.pair_condim))
 
 
 def fwd_constraint(m: Model, d: Data) -> Data:
@@ -381,32 +427,34 @@ def fwd_constraint(m: Model, d: Data) -> Data:
 
 
 def _contact_forces(m: Model, d: Data, force: jax.Array, dtype):
-  """Recover per-slot contact-frame forces from pyramid row forces."""
+  """Recover per-slot contact-frame forces from pyramid row forces.
+
+  Row layout matches make_rows: non-contact rows, then contact groups
+  by ascending condim, slot-ascending within each group.
+  """
   confrc = jnp.zeros((m.ncon_max, 3), dtype=dtype)
   if m.ncon_max == 0:
     return confrc
-  # contact rows start after equality + limit rows
-  base = _num_noncontact_rows(m)
-  idx = base
-  for s in range(m.ncon_max):
-    condim = d.contact.dim[s]
-    if condim == 1:
-      fn = force[idx]
-      confrc = confrc.at[s, 0].set(fn)
-      idx += 1
+  idx = _num_noncontact_rows(m)
+  for c in _contact_condim_groups(m):
+    slots = np.array([s for s in range(m.ncon_max)
+                      if m.pair_condim[s] == c], dtype=np.int32)
+    k = len(slots)
+    if c == 1:
+      fn = force[idx:idx + k]
+      confrc = confrc.at[slots, 0].set(fn)
+      idx += k
     else:
-      naxes = condim - 1
-      fn = jnp.zeros((), dtype=dtype)
-      for k in range(min(naxes, 2)):
-        fp = force[idx + 2 * k]
-        fm = force[idx + 2 * k + 1]
-        fn = fn + fp + fm
-        mu = d.contact.friction[s, k]
-        confrc = confrc.at[s, 1 + k].set(mu * (fp - fm))
-      for k in range(2, naxes):
-        fn = fn + force[idx + 2 * k] + force[idx + 2 * k + 1]
-      confrc = confrc.at[s, 0].set(fn)
-      idx += 2 * naxes
+      naxes = c - 1
+      grp = force[idx:idx + k * naxes * 2].reshape(k, naxes, 2)
+      fn = jnp.sum(grp, axis=(1, 2))
+      mu = d.contact.friction[slots, :naxes]
+      ft = mu * (grp[:, :, 0] - grp[:, :, 1])     # (k, naxes)
+      confrc = confrc.at[slots, 0].set(fn)
+      confrc = confrc.at[slots, 1].set(ft[:, 0])
+      if naxes >= 2:
+        confrc = confrc.at[slots, 2].set(ft[:, 1])
+      idx += k * naxes * 2
   return confrc
 
 

@@ -52,6 +52,12 @@ class Task(abc.ABC):
     """Optional scalar bool: episode terminates with discount 0."""
     return None
 
+  def randomize_model(self, model: types.Model,
+                      rng: jax.Array) -> types.Model:
+    """Per-episode model randomization (pure; traced). Default: none."""
+    del rng
+    return model
+
   def before_step(self, model: types.Model, data: types.Data,
                   action: jax.Array) -> types.Data:
     """Maps action into Data (default: writes ctrl)."""
@@ -130,28 +136,33 @@ class Environment(dm_env.Environment):
     n_sub = self._n_sub_steps
 
     def _reset(key):
-      data = types.make_data(model_)
-      data = task_.initialize_episode(model_, data, key)
-      data = forward_ops.forward(model_, data)
-      obs = task_.get_observation(model_, data)
-      return data, obs
+      km, ki = jax.random.split(key)
+      model = task_.randomize_model(model_, km)
+      data = types.make_data(model)
+      data = task_.initialize_episode(model, data, ki)
+      data = forward_ops.forward(model, data)
+      obs = task_.get_observation(model, data)
+      return model, data, obs
 
-    def _step(data, action):
-      data = task_.before_step(model_, data, action)
+    def _step(model, data, action):
+      data = task_.before_step(model, data, action)
       def body(d, _):
-        return forward_ops.step(model_, d), ()
+        return forward_ops.step(model, d), ()
       data, _ = jax.lax.scan(body, data, None, length=n_sub)
-      data = forward_ops.forward(model_, data)
-      data = task_.after_step(model_, data)
-      obs = task_.get_observation(model_, data)
-      reward = task_.get_reward(model_, data)
-      term = task_.get_termination(model_, data)
+      data = forward_ops.forward(model, data)
+      data = task_.after_step(model, data)
+      obs = task_.get_observation(model, data)
+      reward = task_.get_reward(model, data)
+      term = task_.get_termination(model, data)
       if term is None:
         term = jnp.zeros((), dtype=bool)
       return data, obs, jnp.asarray(reward), term
 
     self._reset_fn = jax.jit(_reset)
     self._step_fn = jax.jit(_step)
+    # commit the model to device once; per-step calls then pass device
+    # arrays through with no host->device transfers
+    self._model_current = jax.device_put(model)
 
   # ------------------------------------------------------------------
   @property
@@ -174,7 +185,7 @@ class Environment(dm_env.Environment):
     self._reset_next_step = False
     self._step_count = 0
     self._key, sub = jax.random.split(self._key)
-    self._data, obs = self._reset_fn(sub)
+    self._model_current, self._data, obs = self._reset_fn(sub)
     obs = self._host_obs(obs)
     return dm_env.TimeStep(
         step_type=dm_env.StepType.FIRST, reward=None, discount=None,
@@ -184,7 +195,8 @@ class Environment(dm_env.Environment):
     if self._reset_next_step:
       return self.reset()
     action = np.asarray(action)
-    self._data, obs, reward, term = self._step_fn(self._data, action)
+    self._data, obs, reward, term = self._step_fn(
+        self._model_current, self._data, action)
     self._step_count += 1
 
     if bool(self._data.divergence):
@@ -213,13 +225,13 @@ class Environment(dm_env.Environment):
     except NotImplementedError:
       # infer by probing (reference rl/control.py:197-204)
       key = jax.random.PRNGKey(0)
-      _, obs = self._reset_fn(key)
+      _, _, obs = self._reset_fn(key)
       obs = self._host_obs(obs)
       return _spec_from_observation(obs)
 
   def _host_obs(self, obs):
-    obs = collections.OrderedDict(
-        (k, np.asarray(v)) for k, v in obs.items())
+    # NOTE: jax.device_get is much cheaper than per-array np.asarray
+    obs = collections.OrderedDict(jax.device_get(obs))
     if self._flat_observation:
       obs = flatten_observation(obs)
     return obs

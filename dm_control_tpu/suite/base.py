@@ -60,21 +60,56 @@ def uniform(key, shape=(), lo=0.0, hi=1.0, dtype=jnp.float32):
 
 
 def random_limited_qpos(model: types.Model, key) -> jax.Array:
-  """Random positions for limited joints, uniform within ranges.
+  """Random positions for limited and rotational joints.
 
-  Behavioural counterpart of
-  reference dm_control/suite/utils/randomizers.py:35-89 for the
-  hinge/slide cases (ball/free randomization added with those tasks).
+  Behavioural counterpart of reference
+  dm_control/suite/utils/randomizers.py:35-89: limited hinge/slide
+  joints uniform in range; unlimited hinges uniform in [-pi, pi);
+  ball joints get a uniform random orientation; free joints are left
+  at qpos0.
   """
-  qpos = model.qpos0
+  import numpy as np
+  from dm_control_tpu.models import constants
+  qpos = jnp.asarray(model.qpos0)
   keys = jax.random.split(key, max(model.njnt, 1))
+  for j in range(model.njnt):
+    jt = model.jnt_type[j]
+    adr = model.jnt_qposadr[j]
+    limited = bool(model.jnt_limited[j])
+    if jt == constants.JointType.HINGE:
+      if limited:
+        lo, hi = model.jnt_range[j, 0], model.jnt_range[j, 1]
+      else:
+        lo, hi = -np.pi, np.pi
+      val = jax.random.uniform(keys[j], (), minval=lo, maxval=hi,
+                               dtype=qpos.dtype)
+      qpos = qpos.at[adr].set(val)
+    elif jt == constants.JointType.SLIDE and limited:
+      lo, hi = model.jnt_range[j, 0], model.jnt_range[j, 1]
+      val = jax.random.uniform(keys[j], (), minval=lo, maxval=hi,
+                               dtype=qpos.dtype)
+      qpos = qpos.at[adr].set(val)
+    elif jt == constants.JointType.BALL:
+      q = jax.random.normal(keys[j], (4,), dtype=qpos.dtype)
+      q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+      qpos = qpos.at[adr:adr + 4].set(q)
+  return qpos
+
+
+def random_limited_qpos_only_limited(model: types.Model, key) -> jax.Array:
+  """Randomize only LIMITED joints within range (cheetah-style init)."""
+  qpos = jnp.asarray(model.qpos0)
+  keys = jax.random.split(key, max(model.njnt, 1))
+  from dm_control_tpu.models import constants
   for j in range(model.njnt):
     if not model.jnt_limited[j]:
       continue
+    jt = model.jnt_type[j]
+    if jt not in (constants.JointType.HINGE, constants.JointType.SLIDE):
+      continue
     adr = model.jnt_qposadr[j]
-    lo = model.jnt_range[j, 0]
-    hi = model.jnt_range[j, 1]
-    val = jax.random.uniform(keys[j], (), minval=lo, maxval=hi,
-                             dtype=qpos.dtype)
+    val = jax.random.uniform(
+        keys[j], (), minval=model.jnt_range[j, 0],
+        maxval=model.jnt_range[j, 1], dtype=qpos.dtype)
     qpos = qpos.at[adr].set(val)
   return qpos

@@ -9,8 +9,11 @@ import os
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if 'host_platform_device_count' not in flags:
-  os.environ['XLA_FLAGS'] = (
-      flags + ' --xla_force_host_platform_device_count=8').strip()
+  flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+if 'parallel_codegen_split_count' not in flags:
+  # parallel codegen can deadlock on 1-core hosts
+  flags = (flags + ' --xla_cpu_parallel_codegen_split_count=1').strip()
+os.environ['XLA_FLAGS'] = flags
 
 import jax
 

@@ -26,6 +26,8 @@ _SUITE_DIR = '/root/reference/dm_control/suite'
 # contact-free (or effectively smooth) models, tolerance for 1 step
 SMOOTH_MODELS = ['pendulum.xml', 'acrobot.xml', 'cartpole.xml',
                  'point_mass.xml', 'reacher.xml']
+# models exercising contacts (plane-capsule, friction pyramids, limits)
+CONTACT_MODELS = ['hopper.xml', 'walker.xml', 'cheetah.xml']
 
 
 def _load_pair(fname):
@@ -113,6 +115,47 @@ def test_forward_parity(fname, seed):
   np.testing.assert_allclose(d.qfrc_actuator, md.qfrc_actuator,
                              rtol=1e-6, atol=1e-8)
   np.testing.assert_allclose(d.qacc, md.qacc, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize('fname', CONTACT_MODELS)
+def test_contact_forward_parity(fname):
+  """Drop the body toward the floor; compare constrained dynamics."""
+  mj, m = _load_pair(fname)
+  md = mujoco.MjData(mj)
+  qpos = mj.qpos0.copy()
+  # lower the root vertical dof until some geom penetrates the floor
+  rng = np.random.RandomState(0)
+  qvel = rng.uniform(-0.1, 0.1, size=mj.nv)
+  md.qpos[:] = qpos
+  md.qvel[:] = qvel
+  mujoco.mj_forward(mj, md)
+  # drop: move root down so lowest geom penetrates by ~2cm
+  lowest = min(
+      md.geom_xpos[g][2] - mj.geom_rbound[g] for g in range(mj.ngeom)
+      if mj.geom_type[g] != mujoco.mjtGeom.mjGEOM_PLANE)
+  drop = lowest - (-0.02)
+  vertical = 1 if fname != 'walker.xml' else 0  # rootz dof index
+  qpos[vertical] -= drop
+  md.qpos[:] = qpos
+  mujoco.mj_forward(mj, md)
+  assert md.ncon > 0, 'test setup: expected contacts'
+
+  d = M.make_data(m, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.array(qpos), qvel=jnp.array(qvel))
+  d = jax.jit(forward.forward)(m, d)
+  active = np.asarray(d.contact.active)
+  assert active.sum() == md.ncon
+  np.testing.assert_allclose(
+      np.sort(np.asarray(d.contact.dist)[active]),
+      np.sort(md.contact.dist[:md.ncon]), atol=1e-9)
+  np.testing.assert_allclose(d.qacc, md.qacc, rtol=1e-5, atol=1e-6)
+
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(5):
+    mujoco.mj_step(mj, md)
+    d = step(d)
+    np.testing.assert_allclose(d.qpos, md.qpos, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(d.qvel, md.qvel, rtol=1e-4, atol=1e-6)
 
 
 @pytest.mark.parametrize('fname', SMOOTH_MODELS)

@@ -1,0 +1,70 @@
+"""Suite-wide environment sweep (model: reference suite/suite_test.py).
+
+For every registered task: load, reset, step with random actions,
+validate specs, reward range, and determinism under a fixed seed.
+"""
+
+import numpy as np
+import pytest
+
+from dm_control_tpu import suite
+
+# keep the sweep affordable on 1-core CI; all tasks are still covered
+_ALL = list(suite.ALL_TASKS)
+
+
+def _uniform_policy(spec, rng):
+  lo = np.where(np.isfinite(spec.minimum), spec.minimum, -1.0)
+  hi = np.where(np.isfinite(spec.maximum), spec.maximum, 1.0)
+  return rng.uniform(lo, hi, size=spec.shape).astype(np.float32)
+
+
+@pytest.mark.parametrize('domain,task', _ALL)
+def test_task_runs(domain, task):
+  env = suite.load(domain, task, task_kwargs={'random': 7})
+  spec = env.action_spec()
+  obs_spec = env.observation_spec()
+  ts = env.reset()
+  assert ts.first()
+  for key, value in ts.observation.items():
+    assert key in obs_spec
+    assert tuple(np.shape(value)) == tuple(obs_spec[key].shape)
+  rng = np.random.RandomState(1)
+  for _ in range(3):
+    ts = env.step(_uniform_policy(spec, rng))
+    assert 0.0 <= ts.reward <= 1.0 + 1e-6
+    assert np.isfinite(
+        np.concatenate([np.ravel(v) for v in ts.observation.values()])
+    ).all()
+
+
+@pytest.mark.parametrize('domain,task', [('cartpole', 'swingup'),
+                                         ('reacher', 'easy')])
+def test_deterministic_under_seed(domain, task):
+  trajs = []
+  for _ in range(2):
+    env = suite.load(domain, task, task_kwargs={'random': 123})
+    rng = np.random.RandomState(0)
+    spec = env.action_spec()
+    ts = env.reset()
+    obs = [np.concatenate([np.ravel(v) for v in ts.observation.values()])]
+    for _ in range(5):
+      ts = env.step(_uniform_policy(spec, rng))
+      obs.append(np.concatenate(
+          [np.ravel(v) for v in ts.observation.values()]))
+    trajs.append(np.stack(obs))
+  np.testing.assert_array_equal(trajs[0], trajs[1])
+
+
+def test_initial_state_is_randomized():
+  env = suite.load('cartpole', 'swingup', task_kwargs={'random': 42})
+  ts1 = env.reset()
+  ts2 = env.reset()
+  assert not np.allclose(ts1.observation['position'],
+                         ts2.observation['position'])
+
+
+def test_benchmarking_tags():
+  assert ('cartpole', 'swingup') in suite.BENCHMARKING
+  assert ('hopper', 'hop') in suite.BENCHMARKING
+  assert len(suite.ALL_TASKS) >= len(suite.BENCHMARKING)
