@@ -34,7 +34,8 @@ def fwd_position(m: Model, d: Data) -> Data:
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
   d = smooth.factor_m(m, d)
-  if not (m.opt.disableflags & constants.DisableBit.CONTACT):
+  if not (m.opt.disableflags & (constants.DisableBit.CONTACT |
+                                constants.DisableBit.CONSTRAINT)):
     d = coll.collision(m, d)
   d = smooth.transmission(m, d)
   return d

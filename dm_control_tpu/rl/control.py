@@ -82,17 +82,21 @@ class Task(abc.ABC):
 
 
 def compute_n_steps(control_timestep: float, physics_timestep: float,
-                    tolerance: float = 1e-8) -> int:
-  """Sub-steps per control step (reference rl/control.py:168-195)."""
-  if control_timestep < physics_timestep:
+                    tolerance: float = 1e-5) -> int:
+  """Sub-steps per control step (reference rl/control.py:168-195).
+
+  The tolerance is relative and loose enough for float32 model
+  timesteps (e.g. 0.0025f vs 0.025).
+  """
+  if control_timestep < physics_timestep * (1 - tolerance):
     raise ValueError(
         f'Control timestep ({control_timestep}) cannot be smaller than '
         f'physics timestep ({physics_timestep}).')
-  if abs((control_timestep / physics_timestep) -
-         round(control_timestep / physics_timestep)) > tolerance:
+  ratio = control_timestep / physics_timestep
+  if abs(ratio - round(ratio)) > tolerance * round(ratio):
     raise ValueError('Control timestep must be an integer multiple of '
                      'physics timestep.')
-  return int(round(control_timestep / physics_timestep))
+  return int(round(ratio))
 
 
 class Environment(dm_env.Environment):

@@ -21,6 +21,7 @@ _DOMAIN_NAMES = [
     'cheetah',
     'fish',
     'hopper',
+    'lqr',
     'humanoid',
     'pendulum',
     'point_mass',

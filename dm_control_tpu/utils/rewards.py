@@ -64,9 +64,19 @@ def tolerance(x, bounds=(0.0, 0.0), margin=0.0, sigmoid='gaussian',
               value_at_margin=_DEFAULT_VALUE_AT_MARGIN):
   """Soft indicator: 1 inside `bounds`, decaying over `margin` outside."""
   lower, upper = bounds
-  if lower > upper:
-    raise ValueError('Lower bound must be <= upper bound.')
-  if margin < 0:
+  # bounds/margin may be traced values inside jit; only validate when
+  # they are concrete python/numpy scalars
+  import jax.core
+  concrete = not (isinstance(lower, jax.core.Tracer) or
+                  isinstance(upper, jax.core.Tracer))
+  if concrete and np.asarray(lower).ndim == 0 and np.asarray(
+      upper).ndim == 0:
+    try:
+      if float(lower) > float(upper):
+        raise ValueError('Lower bound must be <= upper bound.')
+    except TypeError:
+      pass
+  if not isinstance(margin, jax.core.Tracer) and margin < 0:
     raise ValueError('`margin` must be non-negative.')
 
   x = jnp.asarray(x)

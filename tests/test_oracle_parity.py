@@ -129,15 +129,14 @@ def test_contact_forward_parity(fname):
   md.qpos[:] = qpos
   md.qvel[:] = qvel
   mujoco.mj_forward(mj, md)
-  # drop: move root down so lowest geom penetrates by ~2cm
-  lowest = min(
-      md.geom_xpos[g][2] - mj.geom_rbound[g] for g in range(mj.ngeom)
-      if mj.geom_type[g] != mujoco.mjtGeom.mjGEOM_PLANE)
-  drop = lowest - (-0.02)
+  # drop: lower the root until the oracle reports contacts
   vertical = 1 if fname != 'walker.xml' else 0  # rootz dof index
-  qpos[vertical] -= drop
-  md.qpos[:] = qpos
-  mujoco.mj_forward(mj, md)
+  for _ in range(300):
+    qpos[vertical] -= 0.01
+    md.qpos[:] = qpos
+    mujoco.mj_forward(mj, md)
+    if md.ncon > 0:
+      break
   assert md.ncon > 0, 'test setup: expected contacts'
 
   d = M.make_data(m, dtype=jnp.float64)
