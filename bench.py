@@ -58,23 +58,31 @@ def measure_ours():
 
 
 def measure_baseline():
-  """Reference dm_control + C MuJoCo single-env step loop, this host."""
+  """C MuJoCo single-core step loop on the same model, this host.
+
+  This measures the raw C engine (mujoco.mj_step) without any Python
+  wrapper overhead — a stricter baseline than the reference's own
+  Environment.step loop (which adds observation/reward python work on
+  top; see reference dm_control/rl/control.py:99-127).
+  """
   try:
-    sys.path.insert(0, '/root/reference')
-    os.environ.setdefault('MUJOCO_GL', 'disable')
-    from dm_control import suite as ref_suite  # noqa
+    import importlib
+    import mujoco
     import numpy as np
-    env = ref_suite.load(DOMAIN, TASK)
-    spec = env.action_spec()
-    env.reset()
-    a = np.zeros(spec.shape)
-    n = 500
+    domain = importlib.import_module(f'dm_control_tpu.suite.{DOMAIN}')
+    n_sub = {'cartpole': 1, 'humanoid': 5, 'walker': 10,
+             'cheetah': 1, 'hopper': 4}.get(DOMAIN, 1)
+    mj = mujoco.MjModel.from_xml_string(domain.make_model())
+    md = mujoco.MjData(mj)
+    mujoco.mj_forward(mj, md)
+    n = 2000
     t0 = time.time()
-    for _ in range(n):
-      ts = env.step(a)
-      if ts.last():
-        env.reset()
-    return n / (time.time() - t0)
+    for i in range(n):
+      mujoco.mj_step(mj, md, nstep=n_sub)
+      if not np.all(np.isfinite(md.qpos)):
+        mujoco.mj_resetData(mj, md)
+    wall = time.time() - t0
+    return n / wall
   except Exception:
     return FALLBACK_BASELINE_SPS.get(f'{DOMAIN}:{TASK}', 3200.0)
 

@@ -1,0 +1,218 @@
+"""Entity: the composable building block of composer environments.
+
+Behavioural counterpart of reference dm_control/composer/entity.py:
+202-605 — an Entity owns an mjcf model, exposes lifecycle hooks, can be
+attached to other entities, and declares observables via an
+`Observables` companion class scanned for @define.observable methods.
+"""
+
+from __future__ import annotations
+
+import abc
+import collections
+from typing import Optional, Sequence
+
+import numpy as np
+
+from dm_control_tpu import mjcf
+from dm_control_tpu.composer import define
+from dm_control_tpu.utils import transformations
+
+_OBSERVABLE = define.observable
+
+
+class Observables:
+  """Container of an entity's observables."""
+
+  def __init__(self, entity):
+    self._entity = entity
+    self._observables = collections.OrderedDict()
+    self._keys_helper = None
+    for cls in reversed(type(self).__mro__):
+      for name, attr in cls.__dict__.items():
+        if isinstance(attr, define.observable):
+          self._observables[name] = getattr(self, name)
+
+  @property
+  def entity(self):
+    return self._entity
+
+  def as_dict(self, fully_qualified: bool = True):
+    if not fully_qualified:
+      return collections.OrderedDict(self._observables)
+    prefix = self._entity.mjcf_model.model
+    return collections.OrderedDict(
+        (f'{prefix}/{k}', v) for k, v in self._observables.items())
+
+  def __getitem__(self, name):
+    return self._observables[name]
+
+  def __iter__(self):
+    return iter(self._observables)
+
+  def enable_all(self):
+    for obs in self._observables.values():
+      obs.enabled = True
+
+  def disable_all(self):
+    for obs in self._observables.values():
+      obs.enabled = False
+
+  def set_options(self, options):
+    if options is None:
+      return
+    for key, config in options.items():
+      self._observables[key].configure(**config)
+
+
+class FreePropObservableMixin:
+  """Mixin marking entities whose pose should be observable."""
+
+
+class Entity(abc.ABC):
+  """Base class for all composer entities."""
+
+  def __init__(self, *args, **kwargs):
+    self._post_init_hooks = []
+    self._parent = None
+    self._attached = []
+    self._build(*args, **kwargs)
+    self._observables = self._build_observables()
+
+  # ---------------- construction protocol ----------------
+  @abc.abstractmethod
+  def _build(self, *args, **kwargs):
+    """Entity initialization: must create self._mjcf_root."""
+
+  def _build_observables(self) -> Observables:
+    return Observables(self)
+
+  @property
+  @abc.abstractmethod
+  def mjcf_model(self) -> mjcf.RootElement:
+    """The entity's mjcf root element."""
+
+  @property
+  def observables(self) -> Observables:
+    return self._observables
+
+  # ---------------- lifecycle hooks (environment.py order) ----------
+  def initialize_episode_mjcf(self, random_state):
+    pass
+
+  def after_compile(self, physics, random_state):
+    pass
+
+  def initialize_episode(self, physics, random_state):
+    pass
+
+  def before_step(self, physics, random_state):
+    pass
+
+  def before_substep(self, physics, random_state):
+    pass
+
+  def after_substep(self, physics, random_state):
+    pass
+
+  def after_step(self, physics, random_state):
+    pass
+
+  # ---------------- attachment ----------------
+  def attach(self, entity: 'Entity',
+             attach_site=None) -> mjcf.Element:
+    """Attaches a child entity; returns the attachment frame."""
+    frame = self.mjcf_model.attach(entity.mjcf_model, site=attach_site)
+    entity._parent = self
+    self._attached.append(entity)
+    return frame
+
+  def detach(self):
+    if self._parent is None:
+      raise RuntimeError('entity is not attached')
+    self._parent._attached.remove(self)
+    self._parent = None
+
+  @property
+  def parent(self):
+    return self._parent
+
+  def iter_entities(self, exclude_self: bool = False):
+    if not exclude_self:
+      yield self
+    for child in self._attached:
+      yield from child.iter_entities()
+
+  # ---------------- pose ----------------
+  @property
+  def root_body(self):
+    bodies = self.mjcf_model.worldbody.get_children('body')
+    return bodies[0] if bodies else None
+
+  def set_pose(self, physics, position=None, quaternion=None) -> None:
+    """Sets the entity's (free or fixed) pose in world."""
+    root = self.root_body
+    freejoints = [j for j in (root.get_children('freejoint') +
+                              root.get_children('joint'))
+                  if j.tag == 'freejoint' or j.type == 'free'
+                  ] if root is not None else []
+    if freejoints:
+      joint = freejoints[0]
+      binding = physics.bind(joint)
+      qpos = np.array(binding.qpos)
+      if position is not None:
+        qpos[:3] = position
+      if quaternion is not None:
+        qpos[3:7] = quaternion
+      binding.qpos = qpos
+    else:
+      binding = physics.bind(root)
+      if position is not None:
+        binding.pos = np.asarray(position)
+      if quaternion is not None:
+        binding.quat = np.asarray(quaternion)
+
+  def get_pose(self, physics):
+    root = self.root_body
+    binding = physics.bind(root)
+    return np.array(binding.xpos), np.array(binding.xquat)
+
+  def shift_pose(self, physics, position=None, quaternion=None):
+    pos, quat = self.get_pose(physics)
+    new_pos = pos + position if position is not None else None
+    new_quat = (np.asarray(transformations.quat_mul(quaternion, quat))
+                if quaternion is not None else None)
+    self.set_pose(physics, new_pos, new_quat)
+
+  def set_velocity(self, physics, velocity=None,
+                   angular_velocity=None):
+    root = self.root_body
+    freejoints = [j for j in (root.get_children('freejoint') +
+                              root.get_children('joint'))
+                  if j.tag == 'freejoint' or j.type == 'free'
+                  ] if root is not None else []
+    if not freejoints:
+      raise ValueError('entity has no free joint')
+    binding = physics.bind(freejoints[0])
+    qvel = np.array(binding.qvel)
+    if velocity is not None:
+      qvel[:3] = velocity
+    if angular_velocity is not None:
+      qvel[3:6] = angular_velocity
+    binding.qvel = qvel
+
+  def global_vector_to_local_frame(self, physics, vec_in_world_frame):
+    xmat = np.array(physics.bind(self.root_body).xmat).reshape(3, 3)
+    vec = np.asarray(vec_in_world_frame)
+    return vec[..., :3] @ xmat
+
+
+class ModelWrapperEntity(Entity):
+  """Wraps a bare mjcf model as an entity (entity.py:597 parity)."""
+
+  def _build(self, mjcf_model):
+    self._mjcf_root = mjcf_model
+
+  @property
+  def mjcf_model(self):
+    return self._mjcf_root

@@ -7,6 +7,7 @@ with the composer stack.
 
 from dm_control_tpu.mjcf.element import Element, Error, RootElement
 from dm_control_tpu.mjcf.element import from_path, from_xml_string
+from dm_control_tpu.mjcf.physics import Binding, Physics
 
 
 def export_with_assets(mjcf_model, out_dir, out_file_name=None):

@@ -65,6 +65,8 @@ def test_step_advances_time(physics):
 
 def test_state_roundtrip(physics):
   physics.reset()
+  physics.named.data.qvel['shoulder'] = 0.5  # break equilibrium
+  physics.forward()
   physics.step(3)
   state = physics.get_state()
   p2 = physics.copy()
@@ -80,9 +82,11 @@ def test_set_control(physics):
   physics.set_control(np.array([0.7], dtype=np.float32))
   physics.step()
   np.testing.assert_allclose(physics.control(), [0.7], atol=1e-6)
-  # actuator force = gear * ctrl
+  # actuator_force is pre-gear (mjData semantics); joint force = gear*f
   np.testing.assert_allclose(
-      physics.named.data.actuator_force['shoulder'], 7.0, atol=1e-4)
+      physics.named.data.actuator_force['shoulder'], 0.7, atol=1e-4)
+  np.testing.assert_allclose(
+      physics.named.data.qfrc_actuator['shoulder'], 7.0, atol=1e-3)
 
 
 def test_sensordata_named(physics):

@@ -4,13 +4,21 @@ For every registered task: load, reset, step with random actions,
 validate specs, reward range, and determinism under a fixed seed.
 """
 
+import os
+
 import numpy as np
 import pytest
 
 from dm_control_tpu import suite
 
-# keep the sweep affordable on 1-core CI; all tasks are still covered
-_ALL = list(suite.ALL_TASKS)
+# The heaviest compiles are gated by default to keep cold-cache CI
+# affordable on 1-core hosts; set DMC_TPU_FULL_TESTS=1 for the full
+# sweep (every task still has oracle parity coverage of its physics).
+_HEAVY = {('humanoid', 'walk'), ('humanoid', 'run'),
+          ('humanoid', 'run_pure_state'), ('swimmer', 'swimmer15'),
+          ('cartpole', 'three_poles')}
+_FULL = bool(os.environ.get('DMC_TPU_FULL_TESTS'))
+_ALL = [t for t in suite.ALL_TASKS if _FULL or t not in _HEAVY]
 
 
 def _uniform_policy(spec, rng):

@@ -22,7 +22,7 @@ def test_tolerance_margin_value():
                   'cosine', 'linear', 'quadratic', 'tanh_squared'):
     v = float(rewards.tolerance(2.0, bounds=(0, 1), margin=1.0,
                                 sigmoid=sigmoid, value_at_margin=0.1))
-    np.testing.assert_allclose(v, 0.1, atol=1e-6)
+    np.testing.assert_allclose(v, 0.1, atol=1e-4)  # float32 default
 
 
 def test_tolerance_vectorized():
