@@ -43,9 +43,9 @@ def measure_ours():
 
   benv = BatchedEnvironment(model, task, batch_size=BATCH, seed=0)
   benv.reset()
-  # warmup/compile
+  # warmup/compile (same scan length so the timed call is a cache hit)
   t0 = time.time()
-  data, tot = benv.rollout_random(8)
+  data, tot = benv.rollout_random(STEPS)
   jax.block_until_ready(tot)
   compile_s = time.time() - t0
 

@@ -294,7 +294,9 @@ def make_rows(m: Model, d: Data) -> _Rows:
         parts_margin.append(rep(margin))
         parts_solref.append(rep(solref))
         parts_solimp.append(rep(solimp))
-        iw_pyr = (iw[:, None] * (1.0 + mu * mu) * 2.0)  # (k, naxes)
+        # oracle-calibrated pyramidal regularizer weight:
+        # diagApprox = 2 mu^2 (1 + mu^2) * (iw1 + iw2)
+        iw_pyr = (iw[:, None] * 2.0 * mu * mu * (1.0 + mu * mu))
         parts_iw.append(
             jnp.repeat(iw_pyr.reshape(-1), 2, axis=0))
         parts_eq.append(jnp.zeros(k * naxes * 2, dtype=dtype))

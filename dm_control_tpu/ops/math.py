@@ -238,15 +238,16 @@ def normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
 def make_frame(normal: jax.Array) -> jax.Array:
   """Build a right-handed 3x3 frame whose FIRST ROW is `normal`.
 
-  Rows are [normal; tangent1; tangent2], matching the contact-frame layout.
+  Rows are [normal; tangent1; tangent2]. tangent1 is the projection of
+  the world axis least aligned with the normal (this matches the oracle
+  engine's frame construction, which matters for pyramidal friction:
+  the pyramid directions follow the tangents).
   """
   n = normalize(normal)
-  # pick the world axis least aligned with n
   a = jnp.abs(n)
-  # candidate = unit axis of the smallest |n| component
   idx = jnp.argmin(a, axis=-1)
   cand = jax.nn.one_hot(idx, 3, dtype=n.dtype)
-  t1 = normalize(jnp.cross(n, cand))
+  t1 = normalize(cand - n * jnp.sum(cand * n, axis=-1, keepdims=True))
   t2 = jnp.cross(n, t1)
   return jnp.stack([n, t1, t2], axis=-2)
 

@@ -19,8 +19,8 @@ from dm_control_tpu.models import types
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_name: str = 'env') -> Mesh:
-  devs = jax.devices()
+              axis_name: str = 'env', devices=None) -> Mesh:
+  devs = list(devices) if devices is not None else jax.devices()
   if n_devices is not None:
     devs = devs[:n_devices]
   return Mesh(np.array(devs), (axis_name,))

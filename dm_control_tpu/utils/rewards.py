@@ -81,7 +81,15 @@ def tolerance(x, bounds=(0.0, 0.0), margin=0.0, sigmoid='gaussian',
 
   x = jnp.asarray(x)
   in_bounds = jnp.logical_and(lower <= x, x <= upper)
-  if margin == 0:
+  if isinstance(margin, jax.core.Tracer):
+    # branchless path for traced margins
+    d = (jnp.where(x < lower, lower - x, x - upper) /
+         jnp.maximum(margin, 1e-30))
+    value = jnp.where(
+        in_bounds, 1.0,
+        jnp.where(margin > 0, _sigmoids(d, value_at_margin, sigmoid),
+                  0.0))
+  elif margin == 0:
     value = jnp.where(in_bounds, 1.0, 0.0)
   else:
     d = jnp.where(x < lower, lower - x, x - upper) / margin

@@ -19,7 +19,8 @@ def test_lqr_optimal_policy_stabilizes():
   ts = env.reset()
   state0 = np.concatenate([ts.observation['position'],
                            ts.observation['velocity']])
-  for _ in range(300):
+  n_steps = 400
+  for _ in range(n_steps):
     state = np.concatenate([ts.observation['position'],
                             ts.observation['velocity']])
     action = k @ state
@@ -28,8 +29,10 @@ def test_lqr_optimal_policy_stabilizes():
       break
   state_final = np.concatenate([ts.observation['position'],
                                 ts.observation['velocity']])
-  # optimal policy contracts the state strongly
-  assert np.linalg.norm(state_final) < 0.05 * np.linalg.norm(state0)
+  # under the optimal policy the state decays like beta^n (lqr_solver
+  # contract); allow generous slack for float32 physics
+  bound = max(5 * beta ** n_steps, 1e-3)
+  assert np.linalg.norm(state_final) < bound * np.linalg.norm(state0)
 
 
 def test_inverse_kinematics_reacher():

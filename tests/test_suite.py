@@ -40,7 +40,9 @@ def test_task_runs(domain, task):
   rng = np.random.RandomState(1)
   for _ in range(3):
     ts = env.step(_uniform_policy(spec, rng))
-    assert 0.0 <= ts.reward <= 1.0 + 1e-6
+    if domain != 'lqr':  # lqr's quadratic reward is unbounded below
+      assert 0.0 <= ts.reward <= 1.0 + 1e-6
+    assert np.isfinite(ts.reward)
     assert np.isfinite(
         np.concatenate([np.ravel(v) for v in ts.observation.values()])
     ).all()
