@@ -379,8 +379,13 @@ def fwd_constraint(m: Model, d: Data) -> Data:
                  d.qacc_warmstart, a0)
   x = jnp.where(cost_of(ws) < cost_of(a0), ws, a0)
 
-  def body(carry, _):
-    x, _ = carry
+  tol = m.opt.tolerance.astype(dtype)
+  # scale for the improvement test (mirrors the oracle's
+  # tolerance * meaninertia * max(1, nv) scaling in spirit)
+  scale = jnp.maximum(jnp.trace(M) / max(m.nv, 1), 1e-12)
+  ls_iters = min(m.opt.ls_iterations, 8)
+
+  def newton_iter(x):
     jar, w, grad = cost_grad_hess(x)
     H = M + (J.T * w) @ J
     L = jnp.linalg.cholesky(H)
@@ -399,17 +404,29 @@ def fwd_constraint(m: Model, d: Data) -> Data:
       return alpha - dphi / jnp.maximum(ddphi, 1e-12), None
 
     alpha, _ = jax.lax.scan(ls_body, jnp.ones((), dtype=dtype),
-                            None, length=m.opt.ls_iterations)
+                            None, length=ls_iters)
     alpha = jnp.clip(alpha, 0.0, 4.0)
-    x_new = x + alpha * p
-    improved = cost_of(x_new) < cost_of(x)
-    x = jnp.where(improved, x_new, x)
-    gnorm = jnp.linalg.norm(grad)
-    return (x, gnorm), None
+    return x + alpha * p
 
-  (x, gnorm), _ = jax.lax.scan(
-      body, (x, jnp.zeros((), dtype=dtype)), None,
-      length=m.opt.solver_iterations)
+  def cond_fn(carry):
+    x, cost, it, done = carry
+    return (~done) & (it < m.opt.solver_iterations)
+
+  def body_fn(carry):
+    x, cost, it, _ = carry
+    x_new = newton_iter(x)
+    cost_new = cost_of(x_new)
+    improved = cost_new < cost
+    x = jnp.where(improved, x_new, x)
+    # converged when the improvement is negligible (or no improvement)
+    done = (cost - cost_new) < tol * scale
+    cost = jnp.minimum(cost, cost_new)
+    return (x, cost, it + 1, done)
+
+  x, _, niter, _ = jax.lax.while_loop(
+      cond_fn, body_fn,
+      (x, cost_of(x), jnp.zeros((), jnp.int32),
+       jnp.zeros((), dtype=bool)))
 
   jar = J @ x - aref
   w = active_set(jar)
@@ -424,7 +441,7 @@ def fwd_constraint(m: Model, d: Data) -> Data:
 
   return d.replace(
       qacc=x, qfrc_constraint=qfrc_constraint, efc_force=efc_force,
-      qacc_warmstart=x,
+      qacc_warmstart=x, solver_niter=niter,
       contact=d.contact.replace(force=confrc))
 
 

@@ -142,14 +142,49 @@ def forward_core(m: Model, d: Data) -> Data:
   return d
 
 
-def forward(m: Model, d: Data) -> Data:
-  """Full forward dynamics incl. sensors and energy."""
-  d = forward_core(m, d)
-  d = sensor_ops.sensors(m, d)
+def fwd_pv(m: Model, d: Data) -> Data:
+  """Position + velocity stages with their sensors (mj_step1 analog)."""
+  d = fwd_position(m, d)
+  d = fwd_velocity(m, d)
+  d = sensor_ops.sensors(m, d, stages='pv')
   if m.opt.enableflags & constants.EnableBit.ENERGY:
     d = energy(m, d)
   d = _check_health(m, d)
   return d
+
+
+def fwd_aa(m: Model, d: Data) -> Data:
+  """Actuation + acceleration + constraint stages with acc sensors."""
+  d = fwd_actuation(m, d)
+  d = fwd_acceleration(m, d)
+  d = constraint.fwd_constraint(m, d)
+  d = sensor_ops.sensors(m, d, stages='acc')
+  return d
+
+
+def forward(m: Model, d: Data) -> Data:
+  """Full forward dynamics incl. sensors and energy."""
+  d = fwd_pv(m, d)
+  d = fwd_aa(m, d)
+  return d
+
+
+def step_legacy(m: Model, d: Data) -> Data:
+  """One step that PRESERVES the fresh-derived-state invariant.
+
+  Requires d to be position/velocity-fresh (as produced by forward()
+  or a previous step_legacy). Semantics match the reference's
+  legacy_step split (reference dm_control/mujoco/engine.py:147-162):
+  solve accelerations with the current ctrl, integrate, then refresh
+  position/velocity stages — so observations read a consistent state
+  without a second full pipeline per control step.
+  """
+  d = fwd_aa(m, d)
+  if m.opt.integrator == constants.IntegratorType.RK4:
+    d = _rk4(m, d)
+  else:
+    d = _euler(m, d)
+  return fwd_pv(m, d)
 
 
 def energy(m: Model, d: Data) -> Data:

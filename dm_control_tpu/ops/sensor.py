@@ -92,22 +92,36 @@ def _site_zone(m: Model, d: Data, siteid: int, point):
   return jnp.all(jnp.abs(local) <= jnp.maximum(size, 1e-12))
 
 
-def sensors(m: Model, d: Data) -> Data:
+# sensors that depend on the acceleration/force stage (evaluated after
+# the constraint solve, on the pre-integration state — mj_step2 timing)
+_ACC_STAGE = (_S.TOUCH, _S.ACCELEROMETER, _S.FORCE, _S.TORQUE,
+              _S.ACTUATORFRC)
+
+
+def sensors(m: Model, d: Data, stages: str = 'all') -> Data:
+  """Evaluate sensors. stages: 'all', 'pv' (position/velocity only),
+  or 'acc' (acceleration/force stage only)."""
   if not m.nsensor:
     return d
   dtype = d.qpos.dtype
-  out = jnp.zeros(m.nsensordata, dtype=dtype)
+  out = jnp.asarray(d.sensordata, dtype=dtype)
+
+  selected = [i for i in range(m.nsensor)
+              if stages == 'all'
+              or (stages == 'acc') == (m.sensor_type[i] in _ACC_STAGE)]
+  if not selected:
+    return d
 
   needs_acc = any(
-      t in (_S.ACCELEROMETER, _S.FORCE, _S.TORQUE)
-      for t in m.sensor_type)
+      m.sensor_type[i] in (_S.ACCELEROMETER, _S.FORCE, _S.TORQUE)
+      for i in selected)
   cacc = cfrc_int = None
   if needs_acc:
     cacc, cfrc_int = _rne_post(m, d)
   d = d.replace(cacc=cacc if cacc is not None else d.cacc,
                 cfrc_int=cfrc_int if cfrc_int is not None else d.cfrc_int)
 
-  for i in range(m.nsensor):
+  for i in selected:
     st = m.sensor_type[i]
     oid = m.sensor_objid[i]
     adr = m.sensor_adr[i]

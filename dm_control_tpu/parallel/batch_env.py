@@ -62,11 +62,11 @@ class BatchedEnvironment:
       return data, obs, steps
 
     def _step_one(model, data, action):
+      # data enters and leaves position/velocity-fresh (legacy_step)
       data = task_.before_step(model, data, action)
       def body(d, _):
-        return forward_ops.step(model, d), ()
+        return forward_ops.step_legacy(model, d), ()
       data, _ = jax.lax.scan(body, data, None, length=n_sub)
-      data = forward_ops.forward(model, data)
       data = task_.after_step(model, data)
       obs = task_.get_observation(model, data)
       reward = task_.get_reward(model, data)

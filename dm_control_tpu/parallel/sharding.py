@@ -55,9 +55,8 @@ def sharded_train_step(mesh: Mesh, model: types.Model, task,
   def step_one(d, a):
     d = task.before_step(model, d, a)
     def body(dd, _):
-      return forward_ops.step(model, dd), ()
+      return forward_ops.step_legacy(model, dd), ()
     d, _ = jax.lax.scan(body, d, None, length=n_sub_steps)
-    d = forward_ops.forward(model, d)
     r = task.get_reward(model, d)
     return d, r
 

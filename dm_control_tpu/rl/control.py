@@ -149,11 +149,12 @@ class Environment(dm_env.Environment):
       return model, data, obs
 
     def _step(model, data, action):
+      # invariant: data enters and leaves position/velocity-fresh
+      # (legacy_step split; see ops.forward.step_legacy)
       data = task_.before_step(model, data, action)
       def body(d, _):
-        return forward_ops.step(model, d), ()
+        return forward_ops.step_legacy(model, d), ()
       data, _ = jax.lax.scan(body, data, None, length=n_sub)
-      data = forward_ops.forward(model, data)
       data = task_.after_step(model, data)
       obs = task_.get_observation(model, data)
       reward = task_.get_reward(model, data)
