@@ -20,8 +20,8 @@ os.environ.setdefault('XLA_PYTHON_CLIENT_PREALLOCATE', 'false')
 
 # Hardest supported task; upgrade as domains land.
 DOMAIN, TASK = os.environ.get('BENCH_TASK', 'cartpole:swingup').split(':')
-BATCH = int(os.environ.get('BENCH_BATCH', '4096'))
-STEPS = int(os.environ.get('BENCH_STEPS', '400'))
+BATCH = int(os.environ.get('BENCH_BATCH', '16384'))
+STEPS = int(os.environ.get('BENCH_STEPS', '200'))
 
 # measured on this image (1-core Xeon, mujoco 3.10, suite step loop);
 # refreshed automatically whenever the reference import succeeds.
