@@ -169,7 +169,9 @@ def make_rows(m: Model, d: Data) -> _Rows:
         add(J, pos, 0.0, m.eq_solref[e], m.eq_solimp[e], iw, 1.0, act)
       elif et == constants.EqType.TENDON:
         t1 = m.eq_obj1id[e]
-        add(d.ten_J[t1], d.ten_length[t1] - m.tendon_length0[t1], 0.0,
+        poly0 = m.eq_data[e, 0].astype(dtype)
+        add(d.ten_J[t1],
+            d.ten_length[t1] - m.tendon_length0[t1] - poly0, 0.0,
             m.eq_solref[e], m.eq_solimp[e], m.tendon_invweight0[t1],
             1.0, act)
 

@@ -25,6 +25,7 @@ _DOMAIN_NAMES = [
     'humanoid',
     'pendulum',
     'point_mass',
+    'quadruped',
     'reacher',
     'swimmer',
     'walker',
