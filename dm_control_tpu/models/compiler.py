@@ -45,6 +45,7 @@ _PAIR_NCON = {
     (_G.CAPSULE, _G.CAPSULE): 2,
     (_G.CAPSULE, _G.CYLINDER): 2,
     (_G.CAPSULE, _G.BOX): 2,
+    (_G.BOX, _G.BOX): 8,
 }
 
 _SENSOR_INFO = {

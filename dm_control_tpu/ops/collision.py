@@ -208,6 +208,174 @@ def _sphere_ellipsoid(p1, m1, s1, p2, m2, s2):
   return pen[None], pos[None], -n[None]
 
 
+def _box_box(p1, m1, s1, p2, m2, s2):
+  """Box-box contacts: separating axes + face-patch sampling.
+
+  Face contacts sample up to 8 candidate points (the incident face's
+  corners clamped into the reference face rectangle, plus the reference
+  face's corners inside the incident quad), with depths evaluated on
+  the incident face plane; edge-edge contacts use segment closest
+  points. This is an approximation of exact polygon clipping with
+  identical behavior for (near-)aligned stacking.
+  """
+  dtype = p1.dtype
+  a = s1[:3]
+  b = s2[:3]
+  eye = jnp.eye(3, dtype=dtype)
+  c = m1.T @ m2                 # rotation taking B-frame vecs to A
+  t = m1.T @ (p2 - p1)          # B center in A frame
+  absc = jnp.abs(c) + 1e-9
+
+  sep_a = jnp.abs(t) - (a + absc @ b)            # A face axes
+  t_b = c.T @ t
+  sep_b = jnp.abs(t_b) - (b + absc.T @ a)        # B face axes
+
+  edge_seps, edge_axes = [], []
+  for i in range(3):
+    for j in range(3):
+      axis = jnp.cross(eye[i], c[:, j])
+      norm = jnp.linalg.norm(axis)
+      ok = norm > 1e-6
+      axis_n = axis / jnp.maximum(norm, 1e-12)
+      ra = (a[(i + 1) % 3] * absc[(i + 2) % 3, j] +
+            a[(i + 2) % 3] * absc[(i + 1) % 3, j]) / jnp.maximum(
+                norm, 1e-12)
+      rb = (b[(j + 1) % 3] * absc[i, (j + 2) % 3] +
+            b[(j + 2) % 3] * absc[i, (j + 1) % 3]) / jnp.maximum(
+                norm, 1e-12)
+      sep = jnp.abs(t @ axis_n) - (ra + rb)
+      edge_seps.append(jnp.where(ok, sep, -_BIG))
+      edge_axes.append(axis_n)
+  edge_seps = jnp.stack(edge_seps)
+  edge_axes = jnp.stack(edge_axes)
+
+  face_seps = jnp.concatenate([sep_a, sep_b])
+  separated = jnp.maximum(jnp.max(face_seps),
+                          jnp.max(edge_seps)) > 0
+  best_face = jnp.argmax(face_seps)
+  best_edge = jnp.argmax(edge_seps)
+  # prefer face contacts unless an edge axis is clearly better
+  use_edge = edge_seps[best_edge] > face_seps[best_face] + 1e-9
+
+  a_is_ref = best_face < 3
+  ref_idx = jnp.where(a_is_ref, best_face, best_face - 3)
+
+  def face_contacts(ref_half, inc_half, rot_ri, t_ri, k, sign):
+    """Reference box at origin; rot_ri: inc->ref; t_ri: inc center.
+
+    k: reference face axis; sign: direction of the face normal
+    (pointing toward the incident box). Returns (dist(8,), pos(8,3))
+    in the reference frame.
+    """
+    u, v = (k + 1) % 3, (k + 2) % 3
+    # incident face = inc axis most anti-parallel to the ref normal
+    n_in_inc = sign * rot_ri[k, :]          # ref normal in inc frame
+    inc_axis = jnp.argmax(jnp.abs(n_in_inc))
+    inc_sign = -jnp.sign(n_in_inc)[inc_axis]
+    e_inc = jnp.eye(3, dtype=dtype)
+    onehot_inc = e_inc[inc_axis]
+    fc_inc = inc_sign * inc_half[inc_axis] * onehot_inc
+    iu = e_inc[(inc_axis + 1) % 3] * inc_half[(inc_axis + 1) % 3]
+    iv = e_inc[(inc_axis + 2) % 3] * inc_half[(inc_axis + 2) % 3]
+    quad_inc = jnp.stack([fc_inc + iu + iv, fc_inc - iu + iv,
+                          fc_inc - iu - iv, fc_inc + iu - iv])
+    quad = quad_inc @ rot_ri.T + t_ri       # (4,3) in ref frame
+
+    # incident plane in the ref frame: w . x = w . q0
+    w = rot_ri @ (inc_sign * onehot_inc)    # inward normal of inc face
+    q0 = quad[0]
+    wk = jnp.where(jnp.abs(w[k]) < 1e-8,
+                   jnp.sign(w[k] + 1e-30) * 1e-8, w[k])
+
+    def plane_coord(pu, pv):
+      # x[k] on the incident plane at (x[u], x[v]) = (pu, pv)
+      return (w @ q0 - w[u] * pu - w[v] * pv) / wk
+
+    # candidates 0-3: incident corners clamped into the ref rectangle
+    cu = jnp.clip(quad[:, u], -ref_half[u], ref_half[u])
+    cv = jnp.clip(quad[:, v], -ref_half[v], ref_half[v])
+    ck = plane_coord(cu, cv)
+    cand_inc = jnp.stack([cu, cv, ck], axis=1)
+    ok_inc = jnp.ones(4, dtype=bool)
+
+    # candidates 4-7: ref-face corners inside the incident quad's
+    # (u,v) projection
+    ru = jnp.array([1.0, -1.0, -1.0, 1.0], dtype) * ref_half[u]
+    rv = jnp.array([1.0, 1.0, -1.0, -1.0], dtype) * ref_half[v]
+    rk = plane_coord(ru, rv)
+    cand_ref = jnp.stack([ru, rv, rk], axis=1)
+    # point-in-quad test in (u,v): all cross products same sign
+    qu, qv = quad[:, u], quad[:, v]
+    def inside(px, py):
+      s = []
+      for e in range(4):
+        ex, ey = qu[(e + 1) % 4] - qu[e], qv[(e + 1) % 4] - qv[e]
+        s.append(ex * (py - qv[e]) - ey * (px - qu[e]))
+      s = jnp.stack(s, axis=-1)
+      return (jnp.all(s >= -1e-9, axis=-1) |
+              jnp.all(s <= 1e-9, axis=-1))
+    ok_ref = inside(ru, rv)
+
+    cands_uvk = jnp.concatenate([cand_inc, cand_ref])   # (8,3) u,v,k
+    ok = jnp.concatenate([ok_inc, ok_ref])
+    # assemble ref-frame points and depths
+    pts = jnp.zeros((8, 3), dtype)
+    pts = pts.at[:, u].set(cands_uvk[:, 0])
+    pts = pts.at[:, v].set(cands_uvk[:, 1])
+    pts = pts.at[:, k].set(cands_uvk[:, 2])
+    depth = sign * pts[:, k] - ref_half[k]   # negative = penetrating
+    dist = jnp.where(ok, depth, _BIG)
+    # contact pos midway between the point and the ref face
+    proj = pts.at[:, k].set(sign * ref_half[k])
+    pos = 0.5 * (pts + proj)
+    return dist, pos
+
+  sign_a = jnp.sign(t[ref_idx] + 1e-30)
+  dist_fa, pos_fa = face_contacts(a, b, c, t, ref_idx, sign_a)
+  pos_fa_w = pos_fa @ m1.T + p1
+  n_fa_w = m1 @ (sign_a * eye[ref_idx])
+
+  sign_b = -jnp.sign(t_b[ref_idx] + 1e-30)
+  dist_fb, pos_fb = face_contacts(b, a, c.T, -t_b, ref_idx, sign_b)
+  pos_fb_w = pos_fb @ m2.T + p2
+  n_fb_w = m2 @ (jnp.sign(t_b[ref_idx] + 1e-30) * eye[ref_idx])
+
+  dist_face = jnp.where(a_is_ref, dist_fa, dist_fb)
+  pos_face = jnp.where(a_is_ref, pos_fa_w, pos_fb_w)
+  n_face = jnp.where(a_is_ref, n_fa_w, n_fb_w)
+
+  # ---------------- edge-edge ----------------
+  i_e = best_edge // 3
+  j_e = best_edge % 3
+  axis_e = edge_axes[best_edge]
+  axis_e = axis_e * jnp.sign(axis_e @ t + 1e-30)   # point A->B
+  onehot_i = eye[i_e]
+  corner_a = jnp.where(jnp.arange(3) == i_e, 0.0,
+                       jnp.sign(axis_e) * a)
+  axis_e_b = c.T @ axis_e
+  corner_b_bf = jnp.where(jnp.arange(3) == j_e, 0.0,
+                          -jnp.sign(axis_e_b) * b)
+  corner_b = c @ corner_b_bf + t
+  dir_a = onehot_i
+  dir_b = c[:, j_e]
+  pa_e, pb_e = mops.closest_segment_segment(
+      corner_a - dir_a * a[i_e], corner_a + dir_a * a[i_e],
+      corner_b - dir_b * b[j_e], corner_b + dir_b * b[j_e])
+  dist_edge = edge_seps[best_edge]
+  pos_edge_w = (0.5 * (pa_e + pb_e)) @ m1.T + p1
+  n_edge_w = m1 @ axis_e
+
+  dist8 = jnp.where(use_edge,
+                    jnp.full(8, _BIG, dtype).at[0].set(dist_edge),
+                    dist_face)
+  pos8 = jnp.where(use_edge,
+                   jnp.zeros((8, 3), dtype).at[0].set(pos_edge_w),
+                   pos_face)
+  n8 = jnp.broadcast_to(jnp.where(use_edge, n_edge_w, n_face), (8, 3))
+  dist8 = jnp.where(separated, jnp.full(8, _BIG, dtype), dist8)
+  return dist8, pos8, n8
+
+
 _FUNCS = {
     (_G.PLANE, _G.SPHERE): (_plane_sphere, 1),
     (_G.PLANE, _G.CAPSULE): (_plane_capsule, 2),
@@ -222,6 +390,7 @@ _FUNCS = {
     (_G.CAPSULE, _G.CAPSULE): (_capsule_capsule, 2),
     (_G.CAPSULE, _G.CYLINDER): (_capsule_cylinder, 2),
     (_G.CAPSULE, _G.BOX): (_capsule_box, 2),
+    (_G.BOX, _G.BOX): (_box_box, 8),
 }
 
 
