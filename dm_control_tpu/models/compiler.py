@@ -80,6 +80,7 @@ _SENSOR_INFO = {
     'ballquat': (constants.SensorType.BALLQUAT, 'joint', 'joint', 4),
     'ballangvel': (constants.SensorType.BALLANGVEL, 'joint', 'joint', 3),
     'clock': (constants.SensorType.CLOCK, None, None, 1),
+    'rangefinder': (constants.SensorType.RANGEFINDER, 'site', 'site', 1),
 }
 
 

@@ -186,6 +186,9 @@ def sensors(m: Model, d: Data, stages: str = 'all') -> Data:
       val = d.site_xmat[oid].T @ m.opt.magnetic.astype(dtype)
     elif st == _S.CLOCK:
       val = d.time[None]
+    elif st == _S.RANGEFINDER:
+      from dm_control_tpu.ops import ray as ray_ops
+      val = ray_ops.rangefinder(m, d, oid)[None].astype(dtype)
     elif st in (_S.FRAMEPOS, _S.FRAMEQUAT, _S.FRAMEXAXIS, _S.FRAMEYAXIS,
                 _S.FRAMEZAXIS, _S.FRAMELINVEL, _S.FRAMEANGVEL):
       ot = m.sensor_objtype[i]

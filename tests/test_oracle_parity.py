@@ -176,3 +176,48 @@ def test_step_parity(fname):
     d = step(d)
     np.testing.assert_allclose(d.qpos, md.qpos, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(d.qvel, md.qvel, rtol=1e-4, atol=1e-6)
+
+
+def test_rangefinder_parity():
+  xml = """
+  <mujoco><worldbody>
+    <geom name="floor" type="plane" size="5 5 .1"/>
+    <body name="b" pos="0 0 1">
+      <joint type="slide" axis="0 0 1"/>
+      <geom type="box" size=".05 .05 .05" mass="1"/>
+      <site name="rf_down" pos="0 0 -.06" zaxis="0 0 -1"/>
+      <site name="rf_up" pos="0 0 .06" zaxis="0 0 1"/>
+      <site name="rf_side" pos=".06 0 0" zaxis="1 0 0"/>
+    </body>
+    <body name="obstacle" pos="1.5 0 1">
+      <geom name="ball" type="sphere" size=".3" mass="1"/>
+    </body>
+  </worldbody>
+  <sensor>
+    <rangefinder name="rf_down" site="rf_down"/>
+    <rangefinder name="rf_up" site="rf_up"/>
+    <rangefinder name="rf_side" site="rf_side"/>
+  </sensor></mujoco>"""
+  mj = mujoco.MjModel.from_xml_string(xml)
+  md = mujoco.MjData(mj)
+  mujoco.mj_forward(mj, md)
+  m = M.from_xml_string(xml, dtype=jnp.float64)
+  d = jax.jit(forward.forward)(m, M.make_data(m, dtype=jnp.float64))
+  np.testing.assert_allclose(d.sensordata, md.sensordata, atol=1e-9)
+
+
+def test_box_box_aligned_stack_parity():
+  xml = """
+  <mujoco><option timestep="0.002"/><worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <body name="b1" pos="0 0 .1"><freejoint/>
+      <geom name="box1" type="box" size=".1 .12 .1" mass="1"/></body>
+    <body name="b2" pos=".05 .02 .295"><freejoint/>
+      <geom name="box2" type="box" size=".1 .08 .1" mass=".5"/></body>
+  </worldbody></mujoco>"""
+  mj = mujoco.MjModel.from_xml_string(xml)
+  md = mujoco.MjData(mj)
+  mujoco.mj_forward(mj, md)
+  m = M.from_xml_string(xml, dtype=jnp.float64)
+  d = jax.jit(forward.forward)(m, M.make_data(m, dtype=jnp.float64))
+  np.testing.assert_allclose(d.qacc, md.qacc, rtol=1e-6, atol=1e-8)
