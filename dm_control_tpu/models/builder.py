@@ -431,6 +431,7 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
                  int(constants.EqType.WELD): 6,
                  int(constants.EqType.JOINT): 1,
                  int(constants.EqType.TENDON): 1}[e['etype']]
+  nefc_max += int(np.sum(dof_frictionloss > 0))
   nefc_max += sum(1 for j in c.joints if j.limited)
   nefc_max += sum(1 for t in c.tendons if t['limited'])
   for dim in slot_dim:
@@ -484,6 +485,8 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
       dof_bodyid=tuple(int(x) for x in dof_bodyid),
       dof_jntid=tuple(int(x) for x in dof_jntid),
       dof_parentid=tuple(int(x) for x in dof_parentid),
+      dof_hasfrictionloss=tuple(
+          int(x > 0) for x in dof_frictionloss),
       geom_type=tuple(g.gtype for g in c.geoms),
       geom_bodyid=tuple(g.bodyid for g in c.geoms),
       geom_contype=tuple(g.contype for g in c.geoms),

@@ -130,6 +130,8 @@ class Model(_Base):
   dof_bodyid: Tuple[int, ...] = _field(meta=True, default=())
   dof_jntid: Tuple[int, ...] = _field(meta=True, default=())
   dof_parentid: Tuple[int, ...] = _field(meta=True, default=())
+  # static marker: which dofs carry a frictionloss constraint row
+  dof_hasfrictionloss: Tuple[int, ...] = _field(meta=True, default=())
 
   geom_type: Tuple[int, ...] = _field(meta=True, default=())
   geom_bodyid: Tuple[int, ...] = _field(meta=True, default=())

@@ -89,6 +89,7 @@ def make_rows(m: Model, d: Data) -> _Rows:
   rows_iw: List[jax.Array] = []
   rows_eq: List[float] = []
   rows_active: List[jax.Array] = []
+  rows_floss: List[jax.Array] = []
 
   one = jnp.ones((), dtype=dtype)
   disable = m.opt.disableflags
@@ -102,6 +103,7 @@ def make_rows(m: Model, d: Data) -> _Rows:
     rows_iw.append(iw)
     rows_eq.append(eq)
     rows_active.append(active * one)
+    rows_floss.append(0.0 * one)
 
   # ---------------- equality ----------------
   if not (disable & constants.DisableBit.EQUALITY):
@@ -175,6 +177,25 @@ def make_rows(m: Model, d: Data) -> _Rows:
             m.eq_solref[e], m.eq_solimp[e], m.tendon_invweight0[t1],
             1.0, act)
 
+  # ---------------- dof friction loss ----------------
+  if not (disable & constants.DisableBit.FRICTIONLOSS):
+    for v in range(m.nv):
+      # static presence: a dof participates if its frictionloss can be
+      # nonzero; the compiler leaves it in the budget only when set
+      if not _dof_has_frictionloss(m, v):
+        continue
+      J = jnp.zeros(nv, dtype=dtype).at[v].set(1.0)
+      rows_J.append(J)
+      rows_pos.append(jnp.zeros((), dtype=dtype))
+      rows_margin.append(0.0 * one)
+      rows_solref.append(jnp.array([0.02, 1.0], dtype=dtype))
+      rows_solimp.append(
+          jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype))
+      rows_iw.append(m.dof_invweight0[v])
+      rows_eq.append(2.0)  # 2.0 marks a friction row (see fwd_constraint)
+      rows_active.append(one)
+      rows_floss.append(m.dof_frictionloss[v] * one)
+
   # ---------------- joint limits ----------------
   if not (disable & constants.DisableBit.LIMIT):
     for j in range(m.njnt):
@@ -227,6 +248,7 @@ def make_rows(m: Model, d: Data) -> _Rows:
   parts_J, parts_pos, parts_margin = [], [], []
   parts_solref, parts_solimp, parts_iw = [], [], []
   parts_eq, parts_active = [], []
+  parts_floss = []
   if rows_J:
     parts_J.append(jnp.stack(rows_J))
     parts_pos.append(jnp.stack(
@@ -238,6 +260,7 @@ def make_rows(m: Model, d: Data) -> _Rows:
         [jnp.asarray(w, dtype=dtype) for w in rows_iw]))
     parts_eq.append(jnp.asarray(rows_eq, dtype=dtype))
     parts_active.append(jnp.stack(rows_active))
+    parts_floss.append(jnp.stack(rows_floss))
 
   # ---------------- contacts (pyramidal), vectorized by condim -------
   if not (disable & constants.DisableBit.CONTACT) and m.ncon_max:
@@ -273,6 +296,7 @@ def make_rows(m: Model, d: Data) -> _Rows:
         parts_iw.append(iw)
         parts_eq.append(jnp.zeros(k, dtype=dtype))
         parts_active.append(active)
+        parts_floss.append(jnp.zeros(k, dtype=dtype))
       else:
         naxes = c - 1
         axes = [jn_all[slots, 1], jn_all[slots, 2]]
@@ -303,6 +327,7 @@ def make_rows(m: Model, d: Data) -> _Rows:
             jnp.repeat(iw_pyr.reshape(-1), 2, axis=0))
         parts_eq.append(jnp.zeros(k * naxes * 2, dtype=dtype))
         parts_active.append(rep(active))
+        parts_floss.append(jnp.zeros(k * naxes * 2, dtype=dtype))
 
   if not parts_J:
     z = jnp.zeros((0,), dtype=dtype)
@@ -321,12 +346,16 @@ def make_rows(m: Model, d: Data) -> _Rows:
       invweight=cat(parts_iw),
       eq_mask=cat(parts_eq),
       slot_active=cat(parts_active),
-      frictionloss=jnp.zeros(total, dtype=dtype),
+      frictionloss=cat(parts_floss),
   )
 
 
 def _contact_condim_groups(m: Model):
   return sorted(set(m.pair_condim))
+
+
+def _dof_has_frictionloss(m: Model, v: int) -> bool:
+  return bool(m.dof_hasfrictionloss[v])
 
 
 def fwd_constraint(m: Model, d: Data) -> Data:
@@ -359,23 +388,39 @@ def fwd_constraint(m: Model, d: Data) -> Data:
   M = d.qM
   a0 = d.qacc_smooth
   J = rows.J
-  eq = rows.eq_mask > 0
+  eq = rows.eq_mask == 1.0
+  fric = rows.eq_mask == 2.0
+  floss = rows.frictionloss
+
+  def row_force(jar):
+    pen = -dweight * jar
+    base = jnp.where(eq | (jar < 0), pen, 0.0)
+    return jnp.where(fric, jnp.clip(pen, -floss, floss), base)
 
   def active_set(jar):
-    return jnp.where(eq | (jar < 0), dweight, 0.0)
+    w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
+    w_fr = jnp.where(jnp.abs(dweight * jar) < floss, dweight, 0.0)
+    return jnp.where(fric, w_fr, w_base)
 
   def cost_grad_hess(x):
     jar = J @ x - aref
     w = active_set(jar)
-    grad = M @ (x - a0) + J.T @ (w * jar)
+    grad = M @ (x - a0) - J.T @ row_force(jar)
     return jar, w, grad
 
   # start from warmstart if it is finite and better than smooth
   def cost_of(x):
     jar = J @ x - aref
-    w = active_set(jar)
+    w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
+    quad = 0.5 * w_base * jar * jar
+    # friction rows: R-regularized huber cost
+    quad_fr = 0.5 * dweight * jar * jar
+    lin_fr = (floss * jnp.abs(jar) -
+              0.5 * floss * floss / jnp.maximum(dweight, 1e-12))
+    cost_fr = jnp.where(jnp.abs(dweight * jar) < floss, quad_fr, lin_fr)
+    rowcost = jnp.where(fric, cost_fr, quad)
     dv = x - a0
-    return 0.5 * dv @ (M @ dv) + 0.5 * jnp.sum(w * jar * jar)
+    return 0.5 * dv @ (M @ dv) + jnp.sum(rowcost)
 
   ws = jnp.where(jnp.all(jnp.isfinite(d.qacc_warmstart)),
                  d.qacc_warmstart, a0)
@@ -400,9 +445,8 @@ def fwd_constraint(m: Model, d: Data) -> Data:
 
     def ls_body(alpha, _):
       ra = jar + alpha * jp
-      w_a = active_set(ra)
-      dphi = pM_dx + alpha * pMp + jnp.sum(w_a * ra * jp)
-      ddphi = pMp + jnp.sum(w_a * jp * jp)
+      dphi = pM_dx + alpha * pMp - jnp.sum(row_force(ra) * jp)
+      ddphi = pMp + jnp.sum(active_set(ra) * jp * jp)
       return alpha - dphi / jnp.maximum(ddphi, 1e-12), None
 
     alpha, _ = jax.lax.scan(ls_body, jnp.ones((), dtype=dtype),
@@ -431,8 +475,7 @@ def fwd_constraint(m: Model, d: Data) -> Data:
        jnp.zeros((), dtype=bool)))
 
   jar = J @ x - aref
-  w = active_set(jar)
-  force = -w * jar
+  force = row_force(jar)
   qfrc_constraint = J.T @ force
 
   efc_force = jnp.zeros(m.nefc_max, dtype=dtype)
@@ -487,6 +530,8 @@ def _num_noncontact_rows(m: Model) -> int:
             int(constants.EqType.WELD): 6,
             int(constants.EqType.JOINT): 1,
             int(constants.EqType.TENDON): 1}[m.eq_type[e]]
+  if not (m.opt.disableflags & constants.DisableBit.FRICTIONLOSS):
+    n += sum(1 for v in range(m.nv) if _dof_has_frictionloss(m, v))
   if not (m.opt.disableflags & constants.DisableBit.LIMIT):
     n += sum(1 for j in range(m.njnt) if m.jnt_limited[j])
     n += sum(1 for t in range(m.ntendon) if m.tendon_limited[t])
