@@ -1,0 +1,140 @@
+"""Walker abstract base class.
+
+Behavioural counterpart of reference
+dm_control/locomotion/walkers/base.py:36-380 (+ legacy_base groups):
+free-root creation, egocentric-frame transforms, actuator-derived action
+specs, and the standard proprioceptive observable set.
+"""
+
+from __future__ import annotations
+
+import abc
+import collections
+
+import numpy as np
+from dm_env import specs
+
+from dm_control_tpu import composer
+from dm_control_tpu.composer.observation import observable
+
+
+class WalkerPose(collections.namedtuple(
+    'WalkerPose', ('qpos', 'xpos', 'xquat'))):
+  """A walker's joint and Cartesian pose."""
+
+  __slots__ = ()
+
+  def __new__(cls, qpos=None, xpos=(0, 0, 0), xquat=(1, 0, 0, 0)):
+    return super().__new__(
+        cls,
+        qpos=None if qpos is None else np.asarray(qpos, np.float64),
+        xpos=np.asarray(xpos, np.float64),
+        xquat=np.asarray(xquat, np.float64))
+
+
+class Walker(composer.Entity, metaclass=abc.ABCMeta):
+  """Abstract base class for walker robots."""
+
+  def create_root_joints(self, attachment_frame) -> None:
+    attachment_frame.add('freejoint')
+
+  def _build_observables(self):
+    return WalkerObservables(self)
+
+  # ---------------- egocentric transforms ----------------
+  def transform_vec_to_egocentric_frame(self, physics,
+                                        vec_in_world_frame):
+    return self.global_vector_to_local_frame(physics,
+                                             vec_in_world_frame)
+
+  def transform_xmat_to_egocentric_frame(self, physics, xmat):
+    root_xmat = np.array(
+        physics.bind(self.root_body).xmat).reshape(3, 3)
+    return np.asarray(xmat).reshape(3, 3).T @ root_xmat
+
+  # ---------------- body parts ----------------
+  @property
+  @abc.abstractmethod
+  def root_body(self):
+    """The walker's root body element."""
+
+  @property
+  def observable_joints(self):
+    return [j for j in self.mjcf_model.find_all('joint')
+            if j.tag == 'joint' and (j.type or 'hinge') != 'free']
+
+  @property
+  def actuators(self):
+    return self.mjcf_model.find_all('actuator')
+
+  @property
+  def end_effectors(self):
+    return ()
+
+  @property
+  def egocentric_camera(self):
+    return None
+
+  @property
+  def ground_contact_geoms(self):
+    return ()
+
+  # ---------------- action interface ----------------
+  def apply_action(self, physics, action, random_state):
+    del random_state
+    physics.bind(self.actuators).ctrl = np.asarray(action)
+
+  def action_spec(self, physics):
+    binding = physics.bind(self.actuators)
+    minima = np.asarray(binding.ctrlrange)[:, 0]
+    maxima = np.asarray(binding.ctrlrange)[:, 1]
+    return specs.BoundedArray(
+        shape=(len(self.actuators),), dtype=np.float64,
+        minimum=minima, maximum=maxima)
+
+
+class WalkerObservables(composer.Observables):
+  """Standard proprioceptive observables (legacy_base.py:31-380)."""
+
+  @composer.observable
+  def joints_pos(self):
+    return observable.MJCFFeature('qpos',
+                                  self._entity.observable_joints)
+
+  @composer.observable
+  def joints_vel(self):
+    return observable.MJCFFeature('qvel',
+                                  self._entity.observable_joints)
+
+  @composer.observable
+  def world_zaxis(self):
+    """The world's z-vector in this walker's torso frame."""
+    def get_zaxis(physics):
+      return np.array(
+          physics.bind(self._entity.root_body).xmat).reshape(3, 3)[2]
+    return observable.Generic(get_zaxis)
+
+  @composer.observable
+  def position(self):
+    return observable.MJCFFeature('xpos', self._entity.root_body)
+
+  @composer.observable
+  def orientation(self):
+    return observable.MJCFFeature('xmat', self._entity.root_body)
+
+  @property
+  def proprioception(self):
+    return [self.joints_pos, self.joints_vel]
+
+  @property
+  def kinematic_sensors(self):
+    return []
+
+  @property
+  def dynamic_sensors(self):
+    return []
+
+  def enable_proprioception(self):
+    for obs in self.proprioception:
+      obs.enabled = True
+    self.world_zaxis.enabled = True
