@@ -366,6 +366,18 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
       g1, g2 = g2, g1
       t1, t2 = t2, t1
     if (t1, t2) not in _PAIR_NCON_LOCAL:
+      import warnings
+      n1 = c.geoms[g1].name or f'geom#{g1}'
+      n2 = c.geoms[g2].name or f'geom#{g2}'
+      def _tname(t):
+        try:
+          return constants.GeomType(t).name.lower()
+        except ValueError:
+          return str(t)
+      warnings.warn(
+          f'no narrowphase kernel for geom pair ({n1}:{_tname(t1)}, '
+          f'{n2}:{_tname(t2)}); these geoms will interpenetrate '
+          'without contact forces', stacklevel=2)
       return False
     pair_geom1.append(g1)
     pair_geom2.append(g2)

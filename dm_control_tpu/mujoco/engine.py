@@ -53,6 +53,7 @@ class Physics:
     self._dirty_fields = set()
     self._model_dirty = set()
     self._step_fn = jax.jit(forward_ops.step)
+    self._step_legacy_fn = jax.jit(forward_ops.step_legacy)
     self._forward_fn = jax.jit(forward_ops.forward)
     self._named = None
     self.legacy_step = True
@@ -124,10 +125,19 @@ class Physics:
     return self._named
 
   def step(self, nstep: int = 1) -> None:
-    """Advance the simulation nstep physics steps."""
+    """Advance the simulation nstep physics steps.
+
+    With ``legacy_step`` set (the default, matching reference
+    dm_control/mujoco/engine.py:147-162) the step preserves the
+    fresh-derived-state invariant: xpos/site_xpos/sensordata read
+    after step() reflect the post-integration state. Data is
+    position/velocity-fresh on entry because __init__/reset run
+    forward() and step_legacy itself ends with the pv stages.
+    """
     self._commit()
+    fn = self._step_legacy_fn if self.legacy_step else self._step_fn
     for _ in range(nstep):
-      self._data = self._step_fn(self._model_dev, self._data)
+      self._data = fn(self._model_dev, self._data)
     self._invalidate()
     self.check_divergence()
 
@@ -219,6 +229,7 @@ class Physics:
     new._dirty_fields = set()
     new._model_dirty = set()
     new._step_fn = self._step_fn
+    new._step_legacy_fn = self._step_legacy_fn
     new._forward_fn = self._forward_fn
     new._named = None
     new.legacy_step = self.legacy_step
@@ -237,6 +248,7 @@ class Physics:
     self._dirty_fields = set()
     self._model_dirty = set()
     self._step_fn = jax.jit(forward_ops.step)
+    self._step_legacy_fn = jax.jit(forward_ops.step_legacy)
     self._forward_fn = jax.jit(forward_ops.forward)
     self._named = None
     self.legacy_step = True

@@ -65,14 +65,19 @@ def _kbip(m, solref, solimp, imp, pos_minus_margin, vel):
   dampratio = solref[:, 1]
   if not (m.opt.disableflags & constants.DisableBit.REFSAFE):
     # refsafe: keep the virtual spring resolvable at this timestep
+    # (applies only to the standard, positive-timeconst form)
     timeconst = jnp.maximum(timeconst, 2.0 * m.opt.timestep.astype(
         timeconst.dtype))
-  std = timeconst > 0
   b_std = 2.0 / jnp.maximum(dmax * timeconst, 1e-12)
   k_std = 1.0 / jnp.maximum(
       dmax * dmax * timeconst * timeconst * dampratio * dampratio, 1e-12)
-  b = jnp.where(std, b_std, -solref[:, 1])
-  k = jnp.where(std, k_std, -solref[:, 0])
+  # direct (non-positive) solref entries specify stiffness/damping
+  # directly, scaled by 1/dmax^2 and 1/dmax respectively; each element
+  # is gated independently (oracle getKBIP, engine_core_constraint.c)
+  dmax_sq = jnp.maximum(dmax * dmax, 1e-12)
+  b = jnp.where(solref[:, 1] <= 0, -solref[:, 1] / jnp.maximum(dmax, 1e-12),
+                b_std)
+  k = jnp.where(solref[:, 0] <= 0, -solref[:, 0] / dmax_sq, k_std)
   aref = -b * vel - k * imp * pos_minus_margin
   return aref
 

@@ -260,6 +260,21 @@ def _advance(m: Model, d: Data, qacc: jax.Array,
   qvel = d.qvel + dt * qacc
   qpos = integrate_pos(m, d.qpos, qvel, dt)
   act = d.act + dt * act_dot
+  if m.na and any(m.actuator_dyntype[u] == constants.DynType.FILTEREXACT
+                  for u in range(m.nu)):
+    # FILTEREXACT uses the exact exponential discretization
+    # act += act_dot * tau * (1 - exp(-dt/tau)) instead of Euler
+    # (oracle mj_advance / mj_nextActivation, engine_forward.c)
+    h_eff = []
+    for u in range(m.nu):
+      for _ in range(int(m.actuator_actnum[u])):
+        if m.actuator_dyntype[u] == constants.DynType.FILTEREXACT:
+          tau = jnp.maximum(m.actuator_dynprm[u, 0],
+                            1e-8).astype(d.qpos.dtype)
+          h_eff.append(tau * -jnp.expm1(-dt / tau))
+        else:
+          h_eff.append(dt)
+    act = d.act + jnp.stack(h_eff) * act_dot
   if m.na:
     limited = jnp.array(
         [m.actuator_actlimited[u] for u in range(m.nu)

@@ -65,8 +65,12 @@ def random_limited_qpos(model: types.Model, key) -> jax.Array:
   Behavioural counterpart of reference
   dm_control/suite/utils/randomizers.py:35-89: limited hinge/slide
   joints uniform in range; unlimited hinges uniform in [-pi, pi);
-  ball joints get a uniform random orientation; free joints are left
-  at qpos0.
+  unlimited ball joints uniform on the unit 3-sphere; limited ball
+  joints uniform on a sector (random axis, angle in [0, range_max]);
+  free joints get a random unit quaternion from rand(4) (the
+  reference keeps this rand-not-randn quirk "to avoid changing
+  benchmark results", randomizers.py:84-89) and unrandomized linear
+  slots.
   """
   import numpy as np
   from dm_control_tpu.models import constants
@@ -90,10 +94,34 @@ def random_limited_qpos(model: types.Model, key) -> jax.Array:
                                dtype=qpos.dtype)
       qpos = qpos.at[adr].set(val)
     elif jt == constants.JointType.BALL:
-      q = jax.random.normal(keys[j], (4,), dtype=qpos.dtype)
-      q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+      if limited:
+        q = _random_limited_quaternion(
+            keys[j], model.jnt_range[j, 1], qpos.dtype)
+      else:
+        q = jax.random.normal(keys[j], (4,), dtype=qpos.dtype)
+        q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
       qpos = qpos.at[adr:adr + 4].set(q)
+    elif jt == constants.JointType.FREE:
+      q = jax.random.uniform(keys[j], (4,), dtype=qpos.dtype)
+      q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+      qpos = qpos.at[adr + 3:adr + 7].set(q)
   return qpos
+
+
+def _random_limited_quaternion(key, limit, dtype):
+  """Unit quaternion with rotation angle uniform in [0, limit].
+
+  Counterpart of reference randomizers.random_limited_quaternion
+  (suite/utils/randomizers.py:22-33): random axis, uniform angle.
+  """
+  kaxis, kangle = jax.random.split(key)
+  axis = jax.random.normal(kaxis, (3,), dtype=dtype)
+  axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
+  angle = jax.random.uniform(kangle, (), minval=0.0,
+                             maxval=limit, dtype=dtype)
+  half = 0.5 * angle
+  return jnp.concatenate(
+      [jnp.cos(half)[None], jnp.sin(half) * axis])
 
 
 def random_limited_qpos_only_limited(model: types.Model, key) -> jax.Array:
