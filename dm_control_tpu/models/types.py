@@ -174,10 +174,16 @@ class Model(_Base):
   eq_obj2id: Tuple[int, ...] = _field(meta=True, default=())
 
   # contact candidate pairs, precomputed at compile time:
-  # slot-level view (one entry per padded contact slot)
+  # slot-level view (one entry per padded narrowphase slot)
   pair_geom1: Tuple[int, ...] = _field(meta=True, default=())
   pair_geom2: Tuple[int, ...] = _field(meta=True, default=())
   pair_condim: Tuple[int, ...] = _field(meta=True, default=())
+  # post-selection ("compacted") contact slot layout: for big models the
+  # narrowphase slots are reduced each step to the deepest ncon_sel
+  # contacts per condim group (TPU-native runtime broadphase — keeps the
+  # constraint system small and static). sel_condim[i] is the condim of
+  # compacted slot i; == pair_condim when no selection happens.
+  sel_condim: Tuple[int, ...] = _field(meta=True, default=())
   # candidate-level view (one entry per geom pair; each expands to a
   # static number of slots according to the pair's type signature)
   cpair_geom1: Tuple[int, ...] = _field(meta=True, default=())
@@ -293,7 +299,8 @@ class Model(_Base):
   opt: Option = None
 
   # padded capacities (static)
-  ncon_max: int = _field(meta=True, default=0)
+  ncon_max: int = _field(meta=True, default=0)   # narrowphase slots
+  ncon_sel: int = _field(meta=True, default=0)   # compacted contact slots
   nefc_max: int = _field(meta=True, default=0)
 
   @property
@@ -307,10 +314,13 @@ class Model(_Base):
 @_register
 @dataclasses.dataclass(frozen=True)
 class Contact(_Base):
-  """Padded, static-slot contact set.
+  """Padded contact set (compacted slots).
 
-  Slot -> candidate geom pair is a compile-time constant; `active` masks
-  slots whose distance test actually fired this step.
+  Slots hold the deepest `ncon_sel` contacts per condim group after
+  narrowphase (runtime top-K broadphase; slot -> geom pair is therefore
+  data, not compile-time structure). `active` masks slots whose distance
+  test actually fired this step. `overflow` flags steps where more
+  contacts were active than the compacted budget (dropped contacts).
   """
   dist: jax.Array        # (ncon,)
   pos: jax.Array         # (ncon, 3)
@@ -321,9 +331,10 @@ class Contact(_Base):
   solimp: jax.Array      # (ncon, 5)
   active: jax.Array      # (ncon,) bool
   force: jax.Array       # (ncon, 3) solved contact force in contact frame
-  # static slot metadata
-  geom1: Tuple[int, ...] = _field(meta=True, default=())
-  geom2: Tuple[int, ...] = _field(meta=True, default=())
+  geom1: jax.Array = None  # (ncon,) int32 geom ids (data — see above)
+  geom2: jax.Array = None  # (ncon,) int32
+  overflow: jax.Array = None  # scalar bool
+  # static slot metadata: condim per compacted slot
   dim: Tuple[int, ...] = _field(meta=True, default=())
 
 
@@ -361,7 +372,8 @@ class Data(_Base):
   cinert: jax.Array           # (nbody, 6, 6)
   cdof: jax.Array             # (nv, 6)
   qM: jax.Array               # (nv, nv) dense
-  qLD: jax.Array              # (nv, nv) cholesky factor (lower)
+  qLD: jax.Array              # (nv, nv) transposed inverse Cholesky
+                              # factor Kt = (L^-1)^T (see ops/linalg.py)
   ten_length: jax.Array
   ten_J: jax.Array            # (ntendon, nv)
   contact: Contact = None
@@ -409,7 +421,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
   npdt = np.dtype(jnp.dtype(dtype).name)
   z = lambda *shape: np.zeros(shape, dtype=npdt)
   nb, nv, nq = m.nbody, m.nv, m.nq
-  ncon = m.ncon_max
+  ncon = m.ncon_sel
   ident_quat = np.tile(
       np.array([1.0, 0, 0, 0], dtype=npdt), (nb, 1))
   ident_mat = np.tile(np.eye(3, dtype=npdt), (nb, 1, 1))
@@ -422,7 +434,10 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
           np.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=npdt), (ncon, 1)),
       active=np.zeros(ncon, dtype=bool),
       force=z(ncon, 3),
-      geom1=m.pair_geom1, geom2=m.pair_geom2, dim=m.pair_condim)
+      geom1=np.zeros(ncon, dtype=np.int32),
+      geom2=np.zeros(ncon, dtype=np.int32),
+      overflow=np.zeros((), dtype=bool),
+      dim=m.sel_condim)
   nmocap = max(m.nmocap, 1)
   return Data(
       time=np.zeros((), dtype=npdt),

@@ -14,6 +14,7 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dm_control_tpu.models import constants
 from dm_control_tpu.models.types import Data, Model
@@ -395,7 +396,14 @@ _FUNCS = {
 
 
 def collision(m: Model, d: Data) -> Data:
-  """Run narrowphase over all candidate pairs; fill static contact slots."""
+  """Narrowphase over all candidate pairs, then contact compaction.
+
+  When the model's compacted slot count (m.ncon_sel) is smaller than the
+  full narrowphase slot count (m.ncon_max), the deepest ncon_sel
+  contacts per condim group are selected each step (runtime top-K
+  broadphase); `contact.overflow` flags steps that dropped active
+  contacts. With no compaction the slot mapping is the identity.
+  """
   ncand = len(m.cpair_geom1)
   con = d.contact
   if ncand == 0:
@@ -450,10 +458,37 @@ def collision(m: Model, d: Data) -> Data:
     solref = solref.at[slots].set(rep(sref))
     solimp = solimp.at[slots].set(rep(simp))
 
+  slot_g1 = jnp.asarray(m.pair_geom1, dtype=jnp.int32)
+  slot_g2 = jnp.asarray(m.pair_geom2, dtype=jnp.int32)
   active = dist < imargin
+  overflow = jnp.zeros((), dtype=bool)
+
+  if m.ncon_sel < m.ncon_max:
+    # top-K per condim group by penetration depth beyond margin
+    sel_idx_parts = []
+    for cdim in sorted(set(m.pair_condim)):
+      grp = np.array([s for s in range(m.ncon_max)
+                      if m.pair_condim[s] == cdim], dtype=np.int32)
+      k_c = sum(1 for s in m.sel_condim if s == cdim)
+      key = imargin[grp] - dist[grp]
+      if k_c < len(grp):
+        _, top = jax.lax.top_k(key, k_c)
+        idx = jnp.asarray(grp)[top]
+        overflow = overflow | (jnp.sum(active[grp]) > k_c)
+      else:
+        idx = jnp.asarray(grp)
+      sel_idx_parts.append(idx)
+    sel = (sel_idx_parts[0] if len(sel_idx_parts) == 1
+           else jnp.concatenate(sel_idx_parts))
+    dist, pos, frame = dist[sel], pos[sel], frame[sel]
+    imargin, friction = imargin[sel], friction[sel]
+    solref, solimp, active = solref[sel], solimp[sel], active[sel]
+    slot_g1, slot_g2 = slot_g1[sel], slot_g2[sel]
+
   con = con.replace(dist=dist, pos=pos, frame=frame,
                     includemargin=imargin, friction=friction,
-                    solref=solref, solimp=solimp, active=active)
+                    solref=solref, solimp=solimp, active=active,
+                    geom1=slot_g1, geom2=slot_g2, overflow=overflow)
   return d.replace(contact=con)
 
 

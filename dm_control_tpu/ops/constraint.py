@@ -24,6 +24,7 @@ import numpy as np
 
 from dm_control_tpu.models import constants
 from dm_control_tpu.models.types import Data, Model
+from dm_control_tpu.ops import linalg
 from dm_control_tpu.ops import math as mops
 from dm_control_tpu.ops import smooth
 
@@ -31,7 +32,9 @@ _J = constants.JointType
 
 
 class _Rows(NamedTuple):
-  J: jax.Array        # (nefc, nv)
+  J: jax.Array        # (nv, nefc) — TRANSPOSED layout: every hot einsum
+                      # (jar, grad, H, jp) then contracts over a minor
+                      # axis, which XLA lowers without transposes
   pos: jax.Array      # (nefc,) position residual
   margin: jax.Array   # (nefc,)
   solref: jax.Array   # (nefc, 2)
@@ -250,12 +253,13 @@ def make_rows(m: Model, d: Data) -> _Rows:
           m.tendon_solimp_lim[t], m.tendon_invweight0[t], 0.0, active)
 
   # ---------------- stack non-contact rows ----------------
+  # J parts are stacked/concatenated along the LAST axis -> (nv, nefc)
   parts_J, parts_pos, parts_margin = [], [], []
   parts_solref, parts_solimp, parts_iw = [], [], []
   parts_eq, parts_active = [], []
   parts_floss = []
   if rows_J:
-    parts_J.append(jnp.stack(rows_J))
+    parts_J.append(jnp.stack(rows_J, axis=-1))            # (nv, n)
     parts_pos.append(jnp.stack(
         [jnp.asarray(p, dtype=dtype) for p in rows_pos]))
     parts_margin.append(jnp.stack(rows_margin))
@@ -268,32 +272,66 @@ def make_rows(m: Model, d: Data) -> _Rows:
     parts_floss.append(jnp.stack(rows_floss))
 
   # ---------------- contacts (pyramidal), vectorized by condim -------
-  if not (disable & constants.DisableBit.CONTACT) and m.ncon_max:
+  # All slot-level arrays are laid out (nv, slots): the trailing slot
+  # axis is big (lane-friendly) and the assembly below concatenates
+  # straight into the (nv, nefc) Jacobian without any transposes.
+  # Dynamic body lookups go through one-hot matmuls instead of gathers
+  # (XLA:TPU lowers batched dynamic gathers at ~20 GB/s; a one-hot
+  # matmul of these sizes rides the MXU instead).
+  if not (disable & constants.DisableBit.CONTACT) and m.ncon_sel:
     con = d.contact
-    b1s = jnp.array([m.geom_bodyid[g] for g in con.geom1],
-                    dtype=jnp.int32)
-    b2s = jnp.array([m.geom_bodyid[g] for g in con.geom2],
-                    dtype=jnp.int32)
-    jac1p, jac1r = jax.vmap(
-        lambda p, b: smooth.jac_dyn(m, d, p, b))(con.pos, b1s)
-    jac2p, jac2r = jax.vmap(
-        lambda p, b: smooth.jac_dyn(m, d, p, b))(con.pos, b2s)
-    jn_all = jnp.einsum('sij,sjv->siv', con.frame, jac2p - jac1p)
-    biw = jnp.asarray(m.body_invweight0)
-    iw_all = biw[b1s, 0] + biw[b2s, 0]
+    ns = m.ncon_sel
+    gbody = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+    b1s = gbody[con.geom1]
+    b2s = gbody[con.geom2]
+    bids = jnp.arange(m.nbody, dtype=jnp.int32)
+    oh1 = (b1s[:, None] == bids).astype(dtype)          # (s, nb)
+    oh2 = (b2s[:, None] == bids).astype(dtype)
+    root_com = d.subtree_com[np.array(m.body_rootid)]   # (nb, 3) tiny
+    com1 = oh1 @ root_com                               # (s, 3)
+    com2 = oh2 @ root_com
+    off1 = con.pos - com1                               # (s, 3)
+    off2 = con.pos - com2
+    bdm = jnp.asarray(m.body_dof_mask, dtype=dtype)     # (nb, nv)
+    mask1_t = bdm.T @ oh1.T                             # (nv, s)
+    mask2_t = bdm.T @ oh2.T
+    dm_t = mask2_t - mask1_t
+    ang = d.cdof[:, :3]                                 # (nv, 3)
+    lin = d.cdof[:, 3:]
+    # translational jacobian difference, unrolled over the 3 world axes:
+    # jd[j](v,s) = dm*lin[v,j] + (ang x (m2*off2 - m1*off1))_j
+    qq = [mask2_t * off2[None, :, b] - mask1_t * off1[None, :, b]
+          for b in range(3)]                            # 3 x (nv, s)
+    jd = []
+    for j in range(3):
+      a, b = (j + 1) % 3, (j + 2) % 3
+      jd.append(dm_t * lin[:, j:j + 1] +
+                ang[:, a:a + 1] * qq[b] - ang[:, b:b + 1] * qq[a])
+    frame = con.frame
+    # contact-frame rows: jn[i](v,s) = sum_j frame[s,i,j] jd[j](v,s)
+    jn = [frame[None, :, i, 0] * jd[0] + frame[None, :, i, 1] * jd[1] +
+          frame[None, :, i, 2] * jd[2] for i in range(3)]
+    need_rot = any(c >= 4 for c in _contact_condim_groups(m))
+    if need_rot:
+      jrd = [dm_t * ang[:, j:j + 1] for j in range(3)]
+      jr = [frame[None, :, i, 0] * jrd[0] + frame[None, :, i, 1] * jrd[1]
+            + frame[None, :, i, 2] * jrd[2] for i in range(3)]
+    biw = jnp.asarray(m.body_invweight0, dtype=dtype)
+    iw_all = oh1 @ biw[:, 0] + oh2 @ biw[:, 0]          # (s,)
 
     for c in _contact_condim_groups(m):
-      slots = np.array([s for s in range(m.ncon_max)
-                        if m.pair_condim[s] == c], dtype=np.int32)
+      slots = np.array([s for s in range(m.ncon_sel)
+                        if m.sel_condim[s] == c], dtype=np.int32)
       k = len(slots)
-      dist = con.dist[slots]
-      margin = con.includemargin[slots]
-      active = con.active[slots].astype(dtype)
-      solref = con.solref[slots]
-      solimp = con.solimp[slots]
-      iw = iw_all[slots]
+      sl = slice(None) if k == ns else slots
+      dist = con.dist[sl]
+      margin = con.includemargin[sl]
+      active = con.active[sl].astype(dtype)
+      solref = con.solref[sl]
+      solimp = con.solimp[sl]
+      iw = iw_all[sl]
       if c == 1:
-        parts_J.append(jn_all[slots, 0])
+        parts_J.append(jn[0][:, sl])                    # (nv, k)
         parts_pos.append(dist)
         parts_margin.append(margin)
         parts_solref.append(solref)
@@ -304,21 +342,19 @@ def make_rows(m: Model, d: Data) -> _Rows:
         parts_floss.append(jnp.zeros(k, dtype=dtype))
       else:
         naxes = c - 1
-        axes = [jn_all[slots, 1], jn_all[slots, 2]]
+        axes = [jn[1][:, sl], jn[2][:, sl]]
         if c >= 4:
-          jr_grp = jnp.einsum('sij,sjv->siv', con.frame[slots],
-                              (jac2r - jac1r)[slots])
-          axes.append(jr_grp[:, 0])
+          axes.append(jr[0][:, sl])
           if c >= 6:
-            axes.append(jr_grp[:, 1])
-            axes.append(jr_grp[:, 2])
-        axes = jnp.stack(axes[:naxes], axis=1)        # (k, naxes, nv)
-        mu = con.friction[slots, :naxes]              # (k, naxes)
-        normal = jn_all[slots, 0][:, None, :]         # (k, 1, nv)
-        plus = normal + mu[..., None] * axes
-        minus = normal - mu[..., None] * axes
-        rows = jnp.stack([plus, minus], axis=2)       # (k, naxes, 2, nv)
-        rows = rows.reshape(k * naxes * 2, nv)
+            axes.append(jr[1][:, sl])
+            axes.append(jr[2][:, sl])
+        axes = jnp.stack(axes[:naxes], axis=2)        # (nv, k, naxes)
+        mu = con.friction[sl, :naxes]                 # (k, naxes)
+        normal = jn[0][:, sl][:, :, None]             # (nv, k, 1)
+        plus = normal + mu[None] * axes
+        minus = normal - mu[None] * axes
+        rows = jnp.stack([plus, minus], axis=3)       # (nv, k, naxes, 2)
+        rows = rows.reshape(nv, k * naxes * 2)
         rep = lambda x: jnp.repeat(x, naxes * 2, axis=0)
         parts_J.append(rows)
         parts_pos.append(rep(dist))
@@ -336,14 +372,15 @@ def make_rows(m: Model, d: Data) -> _Rows:
 
   if not parts_J:
     z = jnp.zeros((0,), dtype=dtype)
-    return _Rows(jnp.zeros((0, nv), dtype=dtype), z, z,
+    return _Rows(jnp.zeros((nv, 0), dtype=dtype), z, z,
                  jnp.zeros((0, 2), dtype=dtype),
                  jnp.zeros((0, 5), dtype=dtype), z, z, z, z)
 
   cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
-  total = sum(int(p.shape[0]) for p in parts_J)
+  catj = (lambda xs: xs[0] if len(xs) == 1
+          else jnp.concatenate(xs, axis=-1))
   return _Rows(
-      J=cat(parts_J),
+      J=catj(parts_J),
       pos=cat(parts_pos),
       margin=cat(parts_margin),
       solref=cat(parts_solref),
@@ -356,7 +393,7 @@ def make_rows(m: Model, d: Data) -> _Rows:
 
 
 def _contact_condim_groups(m: Model):
-  return sorted(set(m.pair_condim))
+  return sorted(set(m.sel_condim))
 
 
 def _dof_has_frictionloss(m: Model, v: int) -> bool:
@@ -373,7 +410,7 @@ def fwd_constraint(m: Model, d: Data) -> Data:
         qacc_warmstart=d.qacc_smooth)
 
   rows = make_rows(m, d)
-  nefc = rows.J.shape[0]
+  nefc = rows.J.shape[-1]
   dtype = d.qpos.dtype
   if nefc == 0:
     return d.replace(
@@ -385,7 +422,7 @@ def fwd_constraint(m: Model, d: Data) -> Data:
   # impedance, reference acceleration, regularizer
   pmm = rows.pos - rows.margin
   imp = _impedance(rows.solimp, pmm)
-  vel = rows.J @ d.qvel
+  vel = d.qvel @ rows.J
   aref = _kbip(m, rows.solref, rows.solimp, imp, pmm, vel)
   r = jnp.maximum((1.0 - imp) / imp * rows.invweight, 1e-12)
   dweight = jnp.where(rows.slot_active > 0, 1.0 / r, 0.0)
@@ -408,14 +445,14 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     return jnp.where(fric, w_fr, w_base)
 
   def cost_grad_hess(x):
-    jar = J @ x - aref
+    jar = x @ J - aref
     w = active_set(jar)
-    grad = M @ (x - a0) - J.T @ row_force(jar)
+    grad = M @ (x - a0) - J @ row_force(jar)
     return jar, w, grad
 
   # start from warmstart if it is finite and better than smooth
   def cost_of(x):
-    jar = J @ x - aref
+    jar = x @ J - aref
     w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
     quad = 0.5 * w_base * jar * jar
     # friction rows: R-regularized huber cost
@@ -439,12 +476,10 @@ def fwd_constraint(m: Model, d: Data) -> Data:
 
   def newton_iter(x):
     jar, w, grad = cost_grad_hess(x)
-    H = M + (J.T * w) @ J
-    L = jnp.linalg.cholesky(H)
-    y = jax.scipy.linalg.solve_triangular(L, grad, lower=True)
-    p = -jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    H = M + jnp.einsum('ve,e,we->vw', J, w, J)
+    p = -linalg.solve_psd(H, grad)
     # exact line search on the piecewise quadratic phi(alpha)
-    jp = J @ p
+    jp = p @ J
     pMp = p @ (M @ p)
     pM_dx = p @ (M @ (x - a0))
 
@@ -469,8 +504,11 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     cost_new = cost_of(x_new)
     improved = cost_new < cost
     x = jnp.where(improved, x_new, x)
-    # converged when the improvement is negligible (or no improvement)
-    done = (cost - cost_new) < tol * scale
+    # converged when the improvement is negligible (or no improvement).
+    # NaN costs (diverged envs) must also exit: under vmap the batch
+    # runs until EVERY lane is done, so one NaN env would otherwise
+    # force max iterations for the whole batch.
+    done = ~((cost - cost_new) >= tol * scale) | ~jnp.isfinite(cost_new)
     cost = jnp.minimum(cost, cost_new)
     return (x, cost, it + 1, done)
 
@@ -479,9 +517,9 @@ def fwd_constraint(m: Model, d: Data) -> Data:
       (x, cost_of(x), jnp.zeros((), jnp.int32),
        jnp.zeros((), dtype=bool)))
 
-  jar = J @ x - aref
+  jar = x @ J - aref
   force = row_force(jar)
-  qfrc_constraint = J.T @ force
+  qfrc_constraint = J @ force
 
   efc_force = jnp.zeros(m.nefc_max, dtype=dtype)
   efc_force = efc_force.at[:nefc].set(force)
@@ -501,13 +539,13 @@ def _contact_forces(m: Model, d: Data, force: jax.Array, dtype):
   Row layout matches make_rows: non-contact rows, then contact groups
   by ascending condim, slot-ascending within each group.
   """
-  confrc = jnp.zeros((m.ncon_max, 3), dtype=dtype)
-  if m.ncon_max == 0:
+  confrc = jnp.zeros((m.ncon_sel, 3), dtype=dtype)
+  if m.ncon_sel == 0 or (m.opt.disableflags & constants.DisableBit.CONTACT):
     return confrc
   idx = _num_noncontact_rows(m)
   for c in _contact_condim_groups(m):
-    slots = np.array([s for s in range(m.ncon_max)
-                      if m.pair_condim[s] == c], dtype=np.int32)
+    slots = np.array([s for s in range(m.ncon_sel)
+                      if m.sel_condim[s] == c], dtype=np.int32)
     k = len(slots)
     if c == 1:
       fn = force[idx:idx + k]

@@ -16,6 +16,7 @@ from dm_control_tpu.models import constants
 from dm_control_tpu.models.types import Data, Model
 from dm_control_tpu.ops import collision as coll
 from dm_control_tpu.ops import constraint
+from dm_control_tpu.ops import linalg
 from dm_control_tpu.ops import math as mops
 from dm_control_tpu.ops import sensor as sensor_ops
 from dm_control_tpu.ops import smooth
@@ -297,9 +298,7 @@ def _euler(m: Model, d: Data) -> Data:
   # implicit damping solve: (M + h diag(damping)) qacc' = qfrc_total
   qfrc = d.qfrc_smooth + d.qfrc_constraint
   mhd = d.qM + dt * jnp.diag(m.dof_damping)
-  lh = jnp.linalg.cholesky(mhd)
-  y = jax.scipy.linalg.solve_triangular(lh, qfrc, lower=True)
-  qacc_int = jax.scipy.linalg.solve_triangular(lh.T, y, lower=False)
+  qacc_int = linalg.solve_psd(mhd, qfrc)
   return _advance(m, d, qacc_int, d.act_dot)
 
 
@@ -340,3 +339,36 @@ def step(m: Model, d: Data) -> Data:
   if m.opt.integrator == constants.IntegratorType.RK4:
     return _rk4(m, d)
   return _euler(m, d)
+
+
+# ---------------------------------------------------------------------------
+# slim state carry (TPU rollout fast path)
+# ---------------------------------------------------------------------------
+
+# The minimal fields that determine the next step. Everything else in Data
+# is derived and is recomputed by the forward pipeline, so rollout scans
+# carry only these (~300 B/env instead of the ~40 kB full Data pytree —
+# scan carries round-trip HBM every iteration, so this is a first-order
+# throughput lever). sensordata rides along so acc-stage sensor values
+# keep the reference's legacy-step semantics (fresh from the last
+# substep's constraint solve; reference dm_control/mujoco/engine.py:147).
+SLIM_STATE_FIELDS = (
+    'time', 'qpos', 'qvel', 'act', 'ctrl', 'qacc', 'qacc_warmstart',
+    'sensordata',
+)
+
+
+def slim_state(d: Data) -> dict:
+  """Extract the minimal carry state from a Data pytree."""
+  return {f: getattr(d, f) for f in SLIM_STATE_FIELDS}
+
+
+def inflate(m: Model, s: dict) -> Data:
+  """Rebuild a full Data around a slim state.
+
+  The derived fields are fresh zero templates (trace-time constants under
+  jit — they cost nothing until overwritten by the forward pipeline).
+  """
+  from dm_control_tpu.models import types as _types
+  d = _types.make_data(m, dtype=s['qpos'].dtype)
+  return d.replace(**s)

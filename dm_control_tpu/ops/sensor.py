@@ -42,18 +42,18 @@ def _rne_post(m: Model, d: Data):
   # external forces: contacts + xfrc_applied
   fext = jnp.zeros((m.nbody, 6), dtype=dtype)
   rootid = jnp.array(m.body_rootid, dtype=jnp.int32)
-  if m.ncon_max:
+  if m.ncon_sel:
     con = d.contact
-    for s in range(m.ncon_max):
-      b1 = m.geom_bodyid[con.geom1[s]]
-      b2 = m.geom_bodyid[con.geom2[s]]
-      f_world = con.frame[s].T @ con.force[s]
-      f_world = jnp.where(con.active[s], f_world, 0.0)
-      for b, sign in ((b1, -1.0), (b2, 1.0)):
-        o = d.subtree_com[m.body_rootid[b]]
-        trq = jnp.cross(con.pos[s] - o, f_world) * sign
-        fext = fext.at[b].add(
-            jnp.concatenate([trq, sign * f_world]))
+    gbody = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+    b1 = gbody[con.geom1]                             # (ncon,)
+    b2 = gbody[con.geom2]
+    f_world = jnp.einsum('sji,sj->si', con.frame, con.force)
+    f_world = jnp.where(con.active[:, None], f_world, 0.0)
+    for b, sign in ((b1, -1.0), (b2, 1.0)):
+      o = d.subtree_com[rootid[b]]                    # (ncon, 3)
+      trq = jnp.cross(con.pos - o, f_world) * sign
+      fext = fext.at[b].add(
+          jnp.concatenate([trq, sign * f_world], axis=-1))
   if m.nbody > 1:
     frc = d.xfrc_applied[:, :3]
     trq = d.xfrc_applied[:, 3:]
@@ -129,15 +129,17 @@ def sensors(m: Model, d: Data, stages: str = 'all') -> Data:
 
     if st == _S.TOUCH:
       body = m.site_bodyid[oid]
-      total = jnp.zeros((), dtype=dtype)
-      for s in range(m.ncon_max):
-        b1 = m.geom_bodyid[d.contact.geom1[s]]
-        b2 = m.geom_bodyid[d.contact.geom2[s]]
-        if body not in (b1, b2):
-          continue
-        inzone = _site_zone(m, d, oid, d.contact.pos[s])
-        fn = jnp.maximum(d.contact.force[s, 0], 0.0)
-        total = total + jnp.where(d.contact.active[s] & inzone, fn, 0.0)
+      if m.ncon_sel:
+        con = d.contact
+        gbody = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+        onbody = (gbody[con.geom1] == body) | (gbody[con.geom2] == body)
+        inzone = jax.vmap(
+            lambda p: _site_zone(m, d, oid, p))(con.pos)
+        fn = jnp.maximum(con.force[:, 0], 0.0)
+        total = jnp.sum(
+            jnp.where(con.active & onbody & inzone, fn, 0.0))
+      else:
+        total = jnp.zeros((), dtype=dtype)
       val = total[None]
     elif st == _S.ACCELEROMETER:
       body = m.site_bodyid[oid]

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from dm_control_tpu.models import constants
 from dm_control_tpu.models.types import Data, Model
+from dm_control_tpu.ops import linalg
 from dm_control_tpu.ops import math as mops
 
 _J = constants.JointType
@@ -202,14 +203,19 @@ def crb(m: Model, d: Data) -> Data:
 
 
 def factor_m(m: Model, d: Data) -> Data:
-  """Dense Cholesky of qM (batched-friendly; nv is small and static)."""
-  return d.replace(qLD=jnp.linalg.cholesky(d.qM))
+  """Factor qM; stores the transposed inverse Cholesky factor.
+
+  qLD holds Kt = (L^-1)^T (see ops/linalg.py): XLA's generic batched
+  cholesky/triangular-solve path is ~500x slower than the unrolled
+  factor-and-invert for these tiny matrices, and with the explicit
+  inverse every downstream solve is two batched matvecs.
+  """
+  return d.replace(qLD=linalg.chol_inv_t(d.qM))
 
 
 def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
-  """Solve qM y = x using the cached Cholesky factor."""
-  y = jax.scipy.linalg.solve_triangular(d.qLD, x, lower=True)
-  return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+  """Solve qM y = x using the cached inverse factor."""
+  return linalg.kt_solve(d.qLD, x)
 
 
 def mul_m(m: Model, d: Data, x: jax.Array) -> jax.Array:

@@ -2,14 +2,23 @@
 
 This is the TPU-native replacement for "run N processes with N Physics
 copies" (reference scaling model — see SURVEY.md §2.1): one Model, a
-vmapped Data batch, auto-reset masking inside the jitted step, and
+vmapped state batch, auto-reset masking inside the jitted step, and
 device-resident rollouts via lax.scan. Multi-chip scale-out shards the
 env axis over a jax Mesh (see dm_control_tpu.parallel.sharding).
+
+Throughput design: the scan carry is the *slim* physics state
+(`forward.SLIM_STATE_FIELDS`, ~300 B/env) rather than the full Data
+pytree (~40 kB/env for humanoid) — scan carries round-trip HBM every
+iteration, and every derived quantity is recomputed by the forward
+pipeline anyway. Observations are produced by one position/velocity
+refresh after the substep loop, which also preserves the reference's
+legacy-step freshness contract (reference dm_control/mujoco/engine.py:
+147-176: derived state is position/velocity-fresh after step()).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,43 +59,59 @@ class BatchedEnvironment:
     step_limit = self._step_limit
 
     def _init_one(model, key):
+      """Initial slim state + first fresh Data for one env."""
       data = types.make_data(model)
       data = task_.initialize_episode(model, data, key)
-      return forward_ops.forward(model, data)
+      data = forward_ops.forward(model, data)
+      return data
 
     def _reset(model, key):
       keys = jax.random.split(key, batch_size)
       data = jax.vmap(lambda k: _init_one(model, k))(keys)
       obs = jax.vmap(lambda d: task_.get_observation(model, d))(data)
+      state = forward_ops.slim_state(data)
       steps = jnp.zeros(batch_size, dtype=jnp.int32)
-      return data, obs, steps
+      return state, obs, steps
 
-    def _step_one(model, data, action):
-      # data enters and leaves position/velocity-fresh (legacy_step)
-      data = task_.before_step(model, data, action)
-      def body(d, _):
-        return forward_ops.step_legacy(model, d), ()
-      data, _ = jax.lax.scan(body, data, None, length=n_sub)
-      data = task_.after_step(model, data)
-      obs = task_.get_observation(model, data)
-      reward = task_.get_reward(model, data)
-      term = task_.get_termination(model, data)
+    def _substeps(model, state):
+      """n_sub physics steps carrying only the slim state."""
+      def body(s, _):
+        d = forward_ops.inflate(model, s)
+        d = forward_ops.step(model, d)
+        return forward_ops.slim_state(d), ()
+      state, _ = jax.lax.scan(body, state, None, length=n_sub)
+      return state
+
+    def _step_one(model, state, action):
+      """One control step for one env: slim state in, slim state out."""
+      d = forward_ops.inflate(model, state)
+      d = task_.before_step(model, d, action)
+      state = forward_ops.slim_state(d)
+      state = _substeps(model, state)
+      # position/velocity refresh for observations (legacy-step contract)
+      d = forward_ops.inflate(model, state)
+      d = forward_ops.fwd_pv(model, d)
+      d = task_.after_step(model, d)
+      obs = task_.get_observation(model, d)
+      reward = task_.get_reward(model, d)
+      term = task_.get_termination(model, d)
       if term is None:
         term = jnp.zeros((), dtype=bool)
-      return data, obs, reward, term
+      return forward_ops.slim_state(d), obs, reward, term, d.divergence
 
-    def _step(model, data, steps, action, key):
-      data, obs, reward, term = jax.vmap(
-          lambda d, a: _step_one(model, d, a))(data, action)
+    def _step(model, state, steps, action, key):
+      state, obs, reward, term, diverged = jax.vmap(
+          lambda s, a: _step_one(model, s, a))(state, action)
       steps = steps + 1
-      done = term | (steps >= step_limit) | data.divergence
+      done = term | (steps >= step_limit) | diverged
       # auto-reset done envs (cheap state reinit; next forward recomputes)
       keys = jax.random.split(key, batch_size)
       fresh = jax.vmap(lambda k: _init_one(model, k))(keys)
-      data = jax.tree.map(
+      fresh_state = forward_ops.slim_state(fresh)
+      state = jax.tree.map(
           lambda new, old: jnp.where(
               done.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
-          fresh, data)
+          fresh_state, state)
       obs_fresh = jax.vmap(
           lambda d: task_.get_observation(model, d))(fresh)
       obs = jax.tree.map(
@@ -94,25 +119,38 @@ class BatchedEnvironment:
               done.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
           obs_fresh, obs)
       steps = jnp.where(done, 0, steps)
-      return data, obs, steps, reward, done
+      return state, obs, steps, reward, done
 
     self._reset_fn = jax.jit(_reset)
-    self._step_fn = jax.jit(_step)
+    self._step_fn = jax.jit(_step, donate_argnums=(1,))
     self._step_one = _step_one
     self._init_one = _init_one
-    self._data = None
+    self._state = None
     self._steps = None
+    self._rollout_fn = None   # memoized: jit caches by fn identity
+    self._data_fn = None
 
   # ------------------------------------------------------------------
+  @property
+  def _data(self) -> types.Data:
+    """Full (position/velocity-fresh) Data batch for the current state."""
+    if self._state is None:
+      return None
+    if self._data_fn is None:
+      m = self.model
+      self._data_fn = jax.jit(jax.vmap(
+          lambda s: forward_ops.fwd_pv(m, forward_ops.inflate(m, s))))
+    return self._data_fn(self._state)
+
   def reset(self):
     self._key, sub = jax.random.split(self._key)
-    self._data, obs, self._steps = self._reset_fn(self.model, sub)
+    self._state, obs, self._steps = self._reset_fn(self.model, sub)
     return obs
 
   def step(self, actions):
     self._key, sub = jax.random.split(self._key)
-    self._data, obs, self._steps, reward, done = self._step_fn(
-        self.model, self._data, self._steps, actions, sub)
+    self._state, obs, self._steps, reward, done = self._step_fn(
+        self.model, self._state, self._steps, actions, sub)
     return obs, reward, done
 
   # ------------------------------------------------------------------
@@ -121,10 +159,9 @@ class BatchedEnvironment:
     """Device-resident rollout with uniform-random actions.
 
     Returns (final Data batch, summed rewards (batch,)). The entire
-    rollout is one lax.scan — this is the benchmark path.
+    rollout is one lax.scan over the slim state — the benchmark path.
     """
     model = self.model
-    task_ = self.task
     batch = self.batch_size
     nu = model.nu
     lo = np.where(np.array(model.actuator_ctrllimited, dtype=bool),
@@ -133,24 +170,37 @@ class BatchedEnvironment:
                   np.asarray(model.actuator_ctrlrange)[:, 1], 1.0)
     step_one = self._step_one
 
-    def body(carry, _):
-      data, key, total = carry
-      key, ka = jax.random.split(key)
-      actions = jax.random.uniform(
-          ka, (batch, nu), minval=lo, maxval=hi,
-          dtype=jnp.float32)
-      data, _, reward, _ = jax.vmap(
-          lambda d, a: step_one(model, d, a))(data, actions)
-      return (data, key, total + reward), ()
+    def run(state, key, n):
+      pool = state   # reset pool: each env's own initial state
 
-    def run(data, key, n):
-      (data, _, total), _ = jax.lax.scan(
-          body, (data, key, jnp.zeros(batch, dtype=jnp.float32)),
+      def body(carry, _):
+        state, key, total = carry
+        key, ka = jax.random.split(key)
+        actions = jax.random.uniform(
+            ka, (batch, nu), minval=lo, maxval=hi,
+            dtype=jnp.float32)
+        state, _, reward, term, diverged = jax.vmap(
+            lambda s, a: step_one(model, s, a))(state, actions)
+        # auto-reset finished/diverged envs to their pooled initial
+        # state (a NaN env would otherwise persist for the whole
+        # rollout and pin the solver at max iterations every step)
+        done = term | diverged
+        state = jax.tree.map(
+            lambda pool_x, x: jnp.where(
+                done.reshape((-1,) + (1,) * (x.ndim - 1)), pool_x, x),
+            pool, state)
+        return (state, key, total + reward), ()
+
+      (state, _, total), _ = jax.lax.scan(
+          body, (state, key, jnp.zeros(batch, dtype=jnp.float32)),
           None, length=n, unroll=unroll)
-      return data, total
+      return state, total
 
-    if self._data is None:
+    if self._state is None:
       self.reset()
     self._key, sub = jax.random.split(self._key)
-    run_jit = jax.jit(run, static_argnums=2)
-    return run_jit(self._data, sub, n_steps)
+    if self._rollout_fn is None:
+      self._rollout_fn = jax.jit(run, static_argnums=2)
+    state, total = self._rollout_fn(self._state, sub, n_steps)
+    self._state = state
+    return self._data, total
