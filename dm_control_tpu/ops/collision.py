@@ -464,7 +464,16 @@ def collision(m: Model, d: Data) -> Data:
   overflow = jnp.zeros((), dtype=bool)
 
   if m.ncon_sel < m.ncon_max:
-    # top-K per condim group by penetration depth beyond margin
+    # Top-K per condim group by penetration depth beyond margin.
+    # The slot data is packed into ONE (ncon_max, C) matrix and gathered
+    # through a one-hot matmul: XLA:TPU lowers batched dynamic gathers
+    # at ~20 GB/s, while this rides the MXU.
+    packed = jnp.concatenate([
+        dist[:, None], pos, frame.reshape(m.ncon_max, 9),
+        imargin[:, None], friction, solref, solimp,
+        slot_g1[:, None].astype(dtype), slot_g2[:, None].astype(dtype),
+        active.astype(dtype)[:, None],
+    ], axis=1)                                     # (ncon_max, 28)
     sel_idx_parts = []
     for cdim in sorted(set(m.pair_condim)):
       grp = np.array([s for s in range(m.ncon_max)
@@ -480,10 +489,19 @@ def collision(m: Model, d: Data) -> Data:
       sel_idx_parts.append(idx)
     sel = (sel_idx_parts[0] if len(sel_idx_parts) == 1
            else jnp.concatenate(sel_idx_parts))
-    dist, pos, frame = dist[sel], pos[sel], frame[sel]
-    imargin, friction = imargin[sel], friction[sel]
-    solref, solimp, active = solref[sel], solimp[sel], active[sel]
-    slot_g1, slot_g2 = slot_g1[sel], slot_g2[sel]
+    onehot = (sel[:, None] == jnp.arange(m.ncon_max)).astype(dtype)
+    sp = onehot @ packed                           # (ncon_sel, 28)
+    ns = m.ncon_sel
+    dist = sp[:, 0]
+    pos = sp[:, 1:4]
+    frame = sp[:, 4:13].reshape(ns, 3, 3)
+    imargin = sp[:, 13]
+    friction = sp[:, 14:19]
+    solref = sp[:, 19:21]
+    solimp = sp[:, 21:26]
+    slot_g1 = sp[:, 26].astype(jnp.int32)
+    slot_g2 = sp[:, 27].astype(jnp.int32)
+    active = sp[:, 28] > 0.5
 
   con = con.replace(dist=dist, pos=pos, frame=frame,
                     includemargin=imargin, friction=friction,

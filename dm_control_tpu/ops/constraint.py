@@ -47,8 +47,9 @@ class _Rows(NamedTuple):
 
 def _impedance(solimp, pos):
   """Constraint impedance d(pos) from solimp = (d0, dmax, width, mid, pw)."""
-  d0, dmax, width, mid, power = (solimp[:, 0], solimp[:, 1], solimp[:, 2],
-                                 solimp[:, 3], solimp[:, 4])
+  d0, dmax, width, mid, power = (
+      solimp[..., 0], solimp[..., 1], solimp[..., 2], solimp[..., 3],
+      solimp[..., 4])
   x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-12), 0.0, 1.0)
   mid = jnp.clip(mid, 0.0001, 0.9999)
   power = jnp.maximum(power, 1.0)
@@ -63,9 +64,9 @@ def _impedance(solimp, pos):
 
 def _kbip(m, solref, solimp, imp, pos_minus_margin, vel):
   """Reference acceleration aref and regularizer R per row."""
-  dmax = solimp[:, 1]
-  timeconst = solref[:, 0]
-  dampratio = solref[:, 1]
+  dmax = solimp[..., 1]
+  timeconst = solref[..., 0]
+  dampratio = solref[..., 1]
   if not (m.opt.disableflags & constants.DisableBit.REFSAFE):
     # refsafe: keep the virtual spring resolvable at this timestep
     # (applies only to the standard, positive-timeconst form)
@@ -78,9 +79,9 @@ def _kbip(m, solref, solimp, imp, pos_minus_margin, vel):
   # directly, scaled by 1/dmax^2 and 1/dmax respectively; each element
   # is gated independently (oracle getKBIP, engine_core_constraint.c)
   dmax_sq = jnp.maximum(dmax * dmax, 1e-12)
-  b = jnp.where(solref[:, 1] <= 0, -solref[:, 1] / jnp.maximum(dmax, 1e-12),
-                b_std)
-  k = jnp.where(solref[:, 0] <= 0, -solref[:, 0] / dmax_sq, k_std)
+  b = jnp.where(solref[..., 1] <= 0,
+                -solref[..., 1] / jnp.maximum(dmax, 1e-12), b_std)
+  k = jnp.where(solref[..., 0] <= 0, -solref[..., 0] / dmax_sq, k_std)
   aref = -b * vel - k * imp * pos_minus_margin
   return aref
 
@@ -490,9 +491,12 @@ def fwd_constraint(m: Model, d: Data) -> Data:
       return alpha - dphi / jnp.maximum(ddphi, 1e-12), None
 
     alpha, _ = jax.lax.scan(ls_body, jnp.ones((), dtype=dtype),
-                            None, length=ls_iters)
+                            None, length=ls_iters, unroll=ls_iters)
     alpha = jnp.clip(alpha, 0.0, 4.0)
     return x + alpha * p
+
+  # dtype-aware convergence floor — see fwd_constraint_batched
+  eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
   def cond_fn(carry):
     x, cost, it, done = carry
@@ -508,7 +512,8 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     # NaN costs (diverged envs) must also exit: under vmap the batch
     # runs until EVERY lane is done, so one NaN env would otherwise
     # force max iterations for the whole batch.
-    done = ~((cost - cost_new) >= tol * scale) | ~jnp.isfinite(cost_new)
+    thresh = jnp.maximum(tol * scale, 8 * eps * jnp.abs(cost))
+    done = ~((cost - cost_new) >= thresh) | ~jnp.isfinite(cost_new)
     cost = jnp.minimum(cost, cost_new)
     return (x, cost, it + 1, done)
 
@@ -531,6 +536,149 @@ def fwd_constraint(m: Model, d: Data) -> Data:
       qacc=x, qfrc_constraint=qfrc_constraint, efc_force=efc_force,
       qacc_warmstart=x, solver_niter=niter,
       contact=d.contact.replace(force=confrc))
+
+
+def fwd_constraint_batched(m: Model, D: Data) -> Data:
+  """Batched constraint solve over a leading env axis.
+
+  Same math as fwd_constraint, but the Newton loop is written with an
+  explicit batch dimension so the SPD direction solve can run as ONE
+  Pallas kernel per iteration (batch on the lane axis) instead of the
+  unrolled per-env formulation — see ops/pallas_kernels.py. Row
+  assembly and the trailing bookkeeping stay vmapped (elementwise).
+  """
+  from dm_control_tpu.ops import pallas_kernels
+
+  dtype = D.qpos.dtype
+  if (m.opt.disableflags & constants.DisableBit.CONSTRAINT):
+    return jax.vmap(lambda d: fwd_constraint(m, d))(D)
+
+  rows = jax.vmap(lambda d: make_rows(m, d))(D)
+  nefc = rows.J.shape[-1]
+  if nefc == 0:
+    return jax.vmap(lambda d: fwd_constraint(m, d))(D)
+
+  pmm = rows.pos - rows.margin
+  imp = _impedance(rows.solimp, pmm)
+  vel = jnp.einsum('bv,bve->be', D.qvel, rows.J)
+  aref = _kbip(m, rows.solref, rows.solimp, imp, pmm, vel)
+  r = jnp.maximum((1.0 - imp) / imp * rows.invweight, 1e-12)
+  dweight = jnp.where(rows.slot_active > 0, 1.0 / r, 0.0)
+
+  M = D.qM                     # (B, nv, nv)
+  a0 = D.qacc_smooth           # (B, nv)
+  J = rows.J                   # (B, nv, nefc)
+  eq = rows.eq_mask == 1.0
+  fric = rows.eq_mask == 2.0
+  floss = rows.frictionloss
+
+  def row_force(jar):
+    pen = -dweight * jar
+    base = jnp.where(eq | (jar < 0), pen, 0.0)
+    return jnp.where(fric, jnp.clip(pen, -floss, floss), base)
+
+  def active_set(jar):
+    w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
+    w_fr = jnp.where(jnp.abs(dweight * jar) < floss, dweight, 0.0)
+    return jnp.where(fric, w_fr, w_base)
+
+  def jmul(x):                 # (B, nv) -> (B, nefc)
+    return jnp.einsum('bv,bve->be', x, J)
+
+  def jtmul(f):                # (B, nefc) -> (B, nv)
+    return jnp.einsum('bve,be->bv', J, f)
+
+  def mmul(x):                 # (B, nv) -> (B, nv)
+    return jnp.einsum('bij,bj->bi', M, x)
+
+  def cost_of(x):
+    jar = jmul(x) - aref
+    w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
+    quad = 0.5 * w_base * jar * jar
+    quad_fr = 0.5 * dweight * jar * jar
+    lin_fr = (floss * jnp.abs(jar) -
+              0.5 * floss * floss / jnp.maximum(dweight, 1e-12))
+    cost_fr = jnp.where(jnp.abs(dweight * jar) < floss, quad_fr, lin_fr)
+    rowcost = jnp.where(fric, cost_fr, quad)
+    dv = x - a0
+    return 0.5 * jnp.einsum('bi,bi->b', dv, mmul(dv)) + jnp.sum(
+        rowcost, axis=-1)
+
+  ws = jnp.where(jnp.all(jnp.isfinite(D.qacc_warmstart), axis=-1,
+                         keepdims=True), D.qacc_warmstart, a0)
+  x = jnp.where((cost_of(ws) < cost_of(a0))[:, None], ws, a0)
+
+  tol = m.opt.tolerance.astype(dtype)
+  scale = jnp.maximum(
+      jnp.trace(M, axis1=-2, axis2=-1) / max(m.nv, 1), 1e-12)
+  ls_iters = min(m.opt.ls_iterations, 8)
+
+  def newton_iter(x):
+    jar = jmul(x) - aref
+    w = active_set(jar)
+    grad = mmul(x - a0) - jtmul(row_force(jar))
+    H = M + jnp.einsum('bve,be,bwe->bvw', J, w, J)
+    p = -pallas_kernels.chol_solve_batched(H, grad)
+    jp = jmul(p)
+    pMp = jnp.einsum('bi,bi->b', p, mmul(p))
+    pM_dx = jnp.einsum('bi,bi->b', p, mmul(x - a0))
+
+    def ls_body(alpha, _):
+      ra = jar + alpha[:, None] * jp
+      dphi = pM_dx + alpha * pMp - jnp.sum(row_force(ra) * jp, axis=-1)
+      ddphi = pMp + jnp.sum(active_set(ra) * jp * jp, axis=-1)
+      return alpha - dphi / jnp.maximum(ddphi, 1e-12), None
+
+    alpha, _ = jax.lax.scan(
+        ls_body, jnp.ones(x.shape[0], dtype=dtype), None,
+        length=ls_iters, unroll=ls_iters)
+    alpha = jnp.clip(alpha, 0.0, 4.0)
+    return x + alpha[:, None] * p
+
+  # Convergence threshold: the model tolerance, floored at the dtype's
+  # noise level — in f32 an improvement below ~8 eps |cost| is rounding
+  # noise, and iterating through it would run every batch to the
+  # iteration cap (the while_loop runs until EVERY env converges).
+  eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
+  def cond_fn(carry):
+    x, cost, it, done = carry
+    return jnp.any(~done) & (it < m.opt.solver_iterations)
+
+  def body_fn(carry):
+    x, cost, it, done = carry
+    x_new = newton_iter(x)
+    cost_new = cost_of(x_new)
+    improved = (cost_new < cost) & ~done
+    x = jnp.where(improved[:, None], x_new, x)
+    thresh = jnp.maximum(tol * scale, 8 * eps * jnp.abs(cost))
+    done = done | ~((cost - cost_new) >= thresh) | ~jnp.isfinite(
+        cost_new)
+    cost = jnp.where(improved, cost_new, cost)
+    return (x, cost, it + 1, done)
+
+  B = x.shape[0]
+  x, _, niter, _ = jax.lax.while_loop(
+      cond_fn, body_fn,
+      (x, cost_of(x), jnp.zeros((), jnp.int32),
+       jnp.zeros(B, dtype=bool)))
+
+  jar = jmul(x) - aref
+  force = row_force(jar)
+  qfrc_constraint = jtmul(force)
+  efc_force = jnp.zeros((B, m.nefc_max), dtype=dtype)
+  efc_force = efc_force.at[:, :nefc].set(force)
+
+  def _finish(d, f):
+    confrc = _contact_forces(m, d, f, dtype)
+    return d.contact.replace(force=confrc)
+  contact = jax.vmap(_finish)(D, force)
+
+  return D.replace(
+      qacc=x, qfrc_constraint=qfrc_constraint, efc_force=efc_force,
+      qacc_warmstart=x,
+      solver_niter=jnp.broadcast_to(niter, (B,)),
+      contact=contact)
 
 
 def _contact_forces(m: Model, d: Data, force: jax.Array, dtype):

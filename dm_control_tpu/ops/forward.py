@@ -342,6 +342,87 @@ def step(m: Model, d: Data) -> Data:
 
 
 # ---------------------------------------------------------------------------
+# batched step path (explicit env axis; TPU rollout fast path)
+# ---------------------------------------------------------------------------
+
+# Everything elementwise in the pipeline vmaps for free; what does NOT
+# is the sequence of small SPD solves (the Newton direction solve and
+# the implicit-damping Euler solve). Those run as single Pallas kernels
+# over the whole batch when the env axis is explicit (see
+# ops/pallas_kernels.py), so the rollout path below keeps the batch
+# axis visible instead of vmapping `step`.
+
+
+def _vm(fn, m: Model):
+  return jax.vmap(lambda d: fn(m, d))
+
+
+def fwd_aa_batched(m: Model, D: Data) -> Data:
+  """Batched actuation + acceleration + constraint + acc sensors."""
+  D = _vm(fwd_actuation, m)(D)
+  D = _vm(fwd_acceleration, m)(D)
+  D = constraint.fwd_constraint_batched(m, D)
+  D = jax.vmap(lambda d: sensor_ops.sensors(m, d, stages='acc'))(D)
+  return D
+
+
+def forward_core_batched(m: Model, D: Data) -> Data:
+  D = _vm(fwd_position, m)(D)
+  D = _vm(fwd_velocity, m)(D)
+  D = _vm(fwd_actuation, m)(D)
+  D = _vm(fwd_acceleration, m)(D)
+  return constraint.fwd_constraint_batched(m, D)
+
+
+def forward_batched(m: Model, D: Data) -> Data:
+  D = _vm(fwd_pv, m)(D)
+  return fwd_aa_batched(m, D)
+
+
+def _euler_batched(m: Model, D: Data) -> Data:
+  from dm_control_tpu.ops import pallas_kernels
+  dt = m.opt.timestep.astype(D.qpos.dtype)
+  qfrc = D.qfrc_smooth + D.qfrc_constraint
+  mhd = D.qM + dt * jnp.diag(m.dof_damping)[None]
+  qacc_int = pallas_kernels.chol_solve_batched(mhd, qfrc)
+  return jax.vmap(lambda d, qa: _advance(m, d, qa, d.act_dot))(
+      D, qacc_int)
+
+
+def _rk4_batched(m: Model, D: Data) -> Data:
+  dt = m.opt.timestep.astype(D.qpos.dtype)
+  ipos = jax.vmap(lambda q, v: integrate_pos(m, q, v, dt))
+  D0 = D
+  kv, ka, kad = [D.qvel], [D.qacc], [D.act_dot]
+  for arow in _RK4_A:
+    dq = sum(a * v for a, v in zip(arow, kv) if a)
+    dv = sum(a * acc for a, acc in zip(arow, ka) if a)
+    dact = sum(a * ad for a, ad in zip(arow, kad) if a)
+    qpos = ipos(D0.qpos, dq)
+    Di = D0.replace(qpos=qpos, qvel=D0.qvel + dt * dv,
+                    act=D0.act + dt * dact if m.na else D0.act)
+    Di = forward_core_batched(m, Di)
+    kv.append(Di.qvel)
+    ka.append(Di.qacc)
+    kad.append(Di.act_dot)
+  vbar = sum(b * v for b, v in zip(_RK4_B, kv))
+  abar = sum(b * a for b, a in zip(_RK4_B, ka))
+  adbar = sum(b * ad for b, ad in zip(_RK4_B, kad))
+  qpos = ipos(D0.qpos, vbar)
+  return D0.replace(qpos=qpos, qvel=D0.qvel + dt * abar,
+                    act=D0.act + dt * adbar if m.na else D0.act,
+                    time=D0.time + dt)
+
+
+def step_batched(m: Model, D: Data) -> Data:
+  """One simulation step over a leading env axis (batched solves)."""
+  D = forward_batched(m, D)
+  if m.opt.integrator == constants.IntegratorType.RK4:
+    return _rk4_batched(m, D)
+  return _euler_batched(m, D)
+
+
+# ---------------------------------------------------------------------------
 # slim state carry (TPU rollout fast path)
 # ---------------------------------------------------------------------------
 

@@ -73,35 +73,44 @@ class BatchedEnvironment:
       steps = jnp.zeros(batch_size, dtype=jnp.int32)
       return state, obs, steps
 
-    def _substeps(model, state):
-      """n_sub physics steps carrying only the slim state."""
-      def body(s, _):
-        d = forward_ops.inflate(model, s)
-        d = forward_ops.step(model, d)
-        return forward_ops.slim_state(d), ()
-      state, _ = jax.lax.scan(body, state, None, length=n_sub)
-      return state
+    def _inflate_b(model, state):
+      return jax.vmap(lambda s: forward_ops.inflate(model, s))(state)
 
-    def _step_one(model, state, action):
-      """One control step for one env: slim state in, slim state out."""
-      d = forward_ops.inflate(model, state)
-      d = task_.before_step(model, d, action)
-      state = forward_ops.slim_state(d)
-      state = _substeps(model, state)
+    def _step_core(model, state, actions):
+      """One control step for the whole batch.
+
+      The env axis stays EXPLICIT through the physics step so the
+      Newton/Euler SPD solves run as single Pallas kernels over the
+      batch (forward_ops.step_batched) instead of vmapped per-env
+      unrolled solves.
+      """
+      D = _inflate_b(model, state)
+      D = jax.vmap(lambda d, a: task_.before_step(model, d, a))(
+          D, actions)
+      state = forward_ops.slim_state(D)
+
+      def body(s, _):
+        Di = forward_ops.step_batched(model, _inflate_b(model, s))
+        return forward_ops.slim_state(Di), ()
+
+      state, _ = jax.lax.scan(body, state, None, length=n_sub)
       # position/velocity refresh for observations (legacy-step contract)
-      d = forward_ops.inflate(model, state)
-      d = forward_ops.fwd_pv(model, d)
-      d = task_.after_step(model, d)
-      obs = task_.get_observation(model, d)
-      reward = task_.get_reward(model, d)
-      term = task_.get_termination(model, d)
-      if term is None:
-        term = jnp.zeros((), dtype=bool)
-      return forward_ops.slim_state(d), obs, reward, term, d.divergence
+      D = _inflate_b(model, state)
+      D = jax.vmap(lambda d: forward_ops.fwd_pv(model, d))(D)
+      D = jax.vmap(lambda d: task_.after_step(model, d))(D)
+      obs = jax.vmap(lambda d: task_.get_observation(model, d))(D)
+      reward = jax.vmap(lambda d: task_.get_reward(model, d))(D)
+
+      def _term_one(d):
+        t = task_.get_termination(model, d)
+        return jnp.zeros((), dtype=bool) if t is None else t
+
+      term = jax.vmap(_term_one)(D)
+      return forward_ops.slim_state(D), obs, reward, term, D.divergence
 
     def _step(model, state, steps, action, key):
-      state, obs, reward, term, diverged = jax.vmap(
-          lambda s, a: _step_one(model, s, a))(state, action)
+      state, obs, reward, term, diverged = _step_core(
+          model, state, action)
       steps = steps + 1
       done = term | (steps >= step_limit) | diverged
       # auto-reset done envs (cheap state reinit; next forward recomputes)
@@ -123,7 +132,7 @@ class BatchedEnvironment:
 
     self._reset_fn = jax.jit(_reset)
     self._step_fn = jax.jit(_step, donate_argnums=(1,))
-    self._step_one = _step_one
+    self._step_core = _step_core
     self._init_one = _init_one
     self._state = None
     self._steps = None
@@ -168,7 +177,7 @@ class BatchedEnvironment:
                   np.asarray(model.actuator_ctrlrange)[:, 0], -1.0)
     hi = np.where(np.array(model.actuator_ctrllimited, dtype=bool),
                   np.asarray(model.actuator_ctrlrange)[:, 1], 1.0)
-    step_one = self._step_one
+    step_core = self._step_core
 
     def run(state, key, n):
       pool = state   # reset pool: each env's own initial state
@@ -179,8 +188,8 @@ class BatchedEnvironment:
         actions = jax.random.uniform(
             ka, (batch, nu), minval=lo, maxval=hi,
             dtype=jnp.float32)
-        state, _, reward, term, diverged = jax.vmap(
-            lambda s, a: step_one(model, s, a))(state, actions)
+        state, _, reward, term, diverged = step_core(
+            model, state, actions)
         # auto-reset finished/diverged envs to their pooled initial
         # state (a NaN env would otherwise persist for the whole
         # rollout and pin the solver at max iterations every step)

@@ -103,6 +103,23 @@ def main():
   timeit('step (fused)', lambda dd: fwd.step(m, dd), d)
   timeit('step_legacy (fused)', lambda dd: fwd.step_legacy(m, dd), d)
 
+  def timeit_b(name, fn, arg, iters=20):
+    f = jax.jit(fn)
+    out = jax.block_until_ready(f(arg))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+      out = f(arg)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f'{name:28s} {dt * 1e3:9.3f} ms  '
+          f'({dt / batch * 1e9:8.1f} ns/env)')
+    return dt
+
+  timeit_b('fwd_constraint_batched',
+           lambda dd: constraint.fwd_constraint_batched(m, dd), d)
+  timeit_b('euler_batched', lambda dd: fwd._euler_batched(m, dd), d)
+  timeit_b('step_batched', lambda dd: fwd.step_batched(m, dd), d)
+
 
 if __name__ == '__main__':
   main()
