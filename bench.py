@@ -18,10 +18,11 @@ import time
 
 os.environ.setdefault('XLA_PYTHON_CLIENT_PREALLOCATE', 'false')
 
-# Hardest supported task; upgrade as domains land.
-DOMAIN, TASK = os.environ.get('BENCH_TASK', 'cartpole:swingup').split(':')
-BATCH = int(os.environ.get('BENCH_BATCH', '16384'))
-STEPS = int(os.environ.get('BENCH_STEPS', '200'))
+# Headline = the BASELINE.json north-star config (humanoid.run, 4096
+# envs); override via BENCH_TASK/BENCH_BATCH for other configs.
+DOMAIN, TASK = os.environ.get('BENCH_TASK', 'humanoid:run').split(':')
+BATCH = int(os.environ.get('BENCH_BATCH', '4096'))
+STEPS = int(os.environ.get('BENCH_STEPS', '100'))
 
 # measured on this image (1-core Xeon, mujoco 3.10, suite step loop);
 # refreshed automatically whenever the reference import succeeds.
@@ -72,7 +73,9 @@ def measure_baseline():
     domain = importlib.import_module(f'dm_control_tpu.suite.{DOMAIN}')
     n_sub = {'cartpole': 1, 'humanoid': 5, 'walker': 10,
              'cheetah': 1, 'hopper': 4}.get(DOMAIN, 1)
-    mj = mujoco.MjModel.from_xml_string(domain.make_model())
+    from dm_control_tpu.suite import common
+    mj = mujoco.MjModel.from_xml_string(domain.make_model(),
+                                        common.ASSETS)
     md = mujoco.MjData(mj)
     mujoco.mj_forward(mj, md)
     n = 2000

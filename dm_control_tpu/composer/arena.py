@@ -22,6 +22,10 @@ class Arena(entity_lib.Entity):
     frame.pos = offset
     return frame
 
+  def regenerate(self, random_state):
+    """Regenerate procedural content per episode (no-op by default;
+    reference arenas override — e.g. mazes, corridors)."""
+
   def add_free_entity(self, entity):
     """Attaches an entity with a free joint (arena.py:62 parity)."""
     frame = self.attach(entity)

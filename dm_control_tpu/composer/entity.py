@@ -124,8 +124,14 @@ class Entity(abc.ABC):
     """Attaches a child entity; returns the attachment frame."""
     frame = self.mjcf_model.attach(entity.mjcf_model, site=attach_site)
     entity._parent = self
+    entity._attachment_frame = frame
     self._attached.append(entity)
     return frame
+
+  @property
+  def parent_frame(self):
+    """The attachment-frame body in the parent model, if attached."""
+    return getattr(self, '_attachment_frame', None)
 
   def detach(self):
     if self._parent is None:
@@ -149,13 +155,24 @@ class Entity(abc.ABC):
     bodies = self.mjcf_model.worldbody.get_children('body')
     return bodies[0] if bodies else None
 
+  def _free_joints(self):
+    """Freejoints controlling this entity: on its own root body or on
+    its attachment frame (reference entity.py:417-579)."""
+    candidates = []
+    root = self.root_body
+    if root is not None:
+      candidates.extend(root.get_children('freejoint') +
+                        root.get_children('joint'))
+    frame = self.parent_frame
+    if frame is not None:
+      candidates.extend(frame.get_children('freejoint') +
+                        frame.get_children('joint'))
+    return [j for j in candidates
+            if j.tag == 'freejoint' or j.type == 'free']
+
   def set_pose(self, physics, position=None, quaternion=None) -> None:
     """Sets the entity's (free or fixed) pose in world."""
-    root = self.root_body
-    freejoints = [j for j in (root.get_children('freejoint') +
-                              root.get_children('joint'))
-                  if j.tag == 'freejoint' or j.type == 'free'
-                  ] if root is not None else []
+    freejoints = self._free_joints()
     if freejoints:
       joint = freejoints[0]
       binding = physics.bind(joint)
@@ -166,15 +183,18 @@ class Entity(abc.ABC):
         qpos[3:7] = quaternion
       binding.qpos = qpos
     else:
-      binding = physics.bind(root)
+      target = self.parent_frame or self.root_body
+      binding = physics.bind(target)
       if position is not None:
         binding.pos = np.asarray(position)
       if quaternion is not None:
         binding.quat = np.asarray(quaternion)
 
   def get_pose(self, physics):
-    root = self.root_body
-    binding = physics.bind(root)
+    # attached entities report their attachment frame's pose
+    # (reference entity.py:417-466 uses mjcf.get_attachment_frame)
+    target = self.parent_frame or self.root_body
+    binding = physics.bind(target)
     return np.array(binding.xpos), np.array(binding.xquat)
 
   def shift_pose(self, physics, position=None, quaternion=None):
@@ -186,11 +206,7 @@ class Entity(abc.ABC):
 
   def set_velocity(self, physics, velocity=None,
                    angular_velocity=None):
-    root = self.root_body
-    freejoints = [j for j in (root.get_children('freejoint') +
-                              root.get_children('joint'))
-                  if j.tag == 'freejoint' or j.type == 'free'
-                  ] if root is not None else []
+    freejoints = self._free_joints()
     if not freejoints:
       raise ValueError('entity has no free joint')
     binding = physics.bind(freejoints[0])

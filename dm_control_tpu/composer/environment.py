@@ -37,8 +37,12 @@ class _Hooks:
   def __init__(self, task):
     self._task = task
 
-  def __call__(self, name, *args):
-    getattr(self._task, name)(*args)
+  def __call__(self, name, *args, task_args=None):
+    """Invoke hook `name` on the task then every entity. The task may
+    receive different arguments (reference: task.before_substep gets
+    the action, entities do not — environment.py:143-147)."""
+    getattr(self._task, name)(*(task_args if task_args is not None
+                                else args))
     for entity in self._task.iter_entities():
       getattr(entity, name)(*args)
 
@@ -132,7 +136,8 @@ class Environment(dm_env.Environment):
     n_sub = task.physics_steps_per_control_step
     try:
       for i in range(n_sub):
-        self._hooks('before_substep', physics, rs)
+        self._hooks('before_substep', physics, rs,
+                    task_args=(physics, action, rs))
         physics.step()
         self._hooks('after_substep', physics, rs)
         if i < n_sub - 1:

@@ -136,6 +136,41 @@ class MujocoFeature(Observable):
     return read
 
 
+class MJCFCamera(Observable):
+  """Pixels rendered from an MJCF camera element via the on-device
+  ray-caster (reference observation/observable/mjcf.py:105-276)."""
+
+  def __init__(self, mjcf_element, height=240, width=320, depth=False,
+               segmentation=False, **kwargs):
+    if depth and segmentation:
+      raise ValueError('depth and segmentation are mutually exclusive')
+    self._camera_element = mjcf_element
+    self._height = height
+    self._width = width
+    self._depth = depth
+    self._segmentation = segmentation
+    super().__init__(**kwargs)
+
+  @property
+  def height(self):
+    return self._height
+
+  @property
+  def width(self):
+    return self._width
+
+  def _callable(self, physics):
+    name = self._camera_element.full_identifier
+
+    def read():
+      cam_id = physics.model.names.name2id('camera', name)
+      return physics.render(
+          height=self._height, width=self._width, camera_id=cam_id,
+          depth=self._depth, segmentation=self._segmentation)
+
+    return read
+
+
 class MJCFFeature(Observable):
   """A bound attribute of one or more MJCF elements (mjcf.py:43)."""
 

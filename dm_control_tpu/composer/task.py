@@ -112,7 +112,7 @@ class Task(abc.ABC):
   def initialize_episode(self, physics, random_state):
     pass
 
-  def before_substep(self, physics, random_state):
+  def before_substep(self, physics, action, random_state):
     pass
 
   def after_substep(self, physics, random_state):

@@ -1,0 +1,6 @@
+"""Prop entities (reference dm_control/entities/props)."""
+
+from dm_control_tpu.entities.props.position_detector import PositionDetector
+from dm_control_tpu.entities.props.primitive import Primitive
+
+__all__ = ['Primitive', 'PositionDetector']

@@ -27,6 +27,14 @@ def _attr_to_str(value) -> str:
     return 'true' if value else 'false'
   if isinstance(value, str):
     return value
+  if isinstance(value, Element):
+    # element-valued reference attrs (e.g. sensor objname=geom_element)
+    # store the referenced element's LOCAL name; serialization applies
+    # the attachment prefix to reference-kind attrs (same-model refs)
+    name = value._attrs.get('name')
+    if name is None:
+      raise Error(f'cannot reference unnamed element {value!r}')
+    return name
   if isinstance(value, (int, np.integer)):
     return str(int(value))
   if isinstance(value, (float, np.floating)):
@@ -192,10 +200,13 @@ class Element:
   def find_all(self, namespace: str):
     root = self._root
     out = list(root._namescope.get(namespace, {}).values())
-    # include unnamed elements of the namespace by tree walk
+    # include unnamed elements of the namespace by tree walk; <default>
+    # subtrees hold class templates, not model elements
     named = set(id(e) for e in out)
     def walk(e):
       for c in e._children:
+        if c.tag == 'default':
+          continue
         if c.spec['identifier'] == namespace and id(c) not in named:
           out.append(c)
         walk(c)

@@ -19,66 +19,72 @@ from dm_control_tpu.mjcf import element as element_lib
 from dm_control_tpu.mujoco import engine
 
 
-# namespace -> {attribute name: (kind, data field, needs_forward)}
-_BIND_ATTRS = {
-    'joint': {
-        'qpos': ('data_ragged', 'qpos', False),
-        'qvel': ('data_ragged', 'qvel', False),
-        'qacc': ('data_ragged', 'qacc', True),
-        'damping': ('model_dof', 'dof_damping', False),
-        'armature': ('model_dof', 'dof_armature', False),
-        'stiffness': ('model_jnt', 'jnt_stiffness', False),
-        'range': ('model_jnt', 'jnt_range', False),
-        'xanchor': ('data_jnt', 'xanchor', True),
-        'xaxis': ('data_jnt', 'xaxis', True),
-    },
-    'geom': {
-        'xpos': ('data_named', 'geom_xpos', True),
-        'xmat': ('data_named', 'geom_xmat', True),
-        'pos': ('model_named', 'geom_pos', False),
-        'quat': ('model_named', 'geom_quat', False),
-        'size': ('model_named', 'geom_size', False),
-        'rgba': ('model_named', 'geom_rgba', False),
-        'friction': ('model_named', 'geom_friction', False),
-        'margin': ('model_named', 'geom_margin', False),
-    },
-    'body': {
-        'xpos': ('data_named', 'xpos', True),
-        'xquat': ('data_named', 'xquat', True),
-        'xmat': ('data_named', 'xmat', True),
-        'xipos': ('data_named', 'xipos', True),
-        'subtree_com': ('data_named', 'subtree_com', True),
-        'xfrc_applied': ('data_named', 'xfrc_applied', False),
-        'pos': ('model_named', 'body_pos', False),
-        'quat': ('model_named', 'body_quat', False),
-        'mass': ('model_named', 'body_mass', False),
-        'inertia': ('model_named', 'body_inertia', False),
-    },
-    'site': {
-        'xpos': ('data_named', 'site_xpos', True),
-        'xmat': ('data_named', 'site_xmat', True),
-        'pos': ('model_named', 'site_pos', False),
-        'quat': ('model_named', 'site_quat', False),
-        'size': ('model_named', 'site_size', False),
-    },
-    'actuator': {
-        'ctrl': ('data_named', 'ctrl', False),
-        'force': ('data_named', 'actuator_force', True),
-        'length': ('data_named', 'actuator_length', True),
-        'velocity': ('data_named', 'actuator_velocity', True),
-        'gear': ('model_named', 'actuator_gear', False),
-        'ctrlrange': ('model_named', 'actuator_ctrlrange', False),
-    },
-    'tendon': {
-        'length': ('data_named', 'ten_length', True),
-        'velocity': ('data_named', 'ten_velocity', True),
-        'stiffness': ('model_named', 'tendon_stiffness', False),
-        'range': ('model_named', 'tendon_range', False),
-    },
-    'sensor': {
-        'sensordata': ('data_named', 'sensordata', True),
-    },
+# The bind table is GENERATED from the model's named-field inventory
+# (index.build_tables) rather than a hand-maintained allowlist — the
+# behavioural counterpart of the reference's sizes.array_sizes-derived
+# _ATTRIBUTES tables (reference dm_control/mjcf/physics.py:94-117).
+# Any attribute the named index layer knows is bindable.
+
+_STATE_DATA_FIELDS = frozenset((
+    'qpos', 'qvel', 'act', 'ctrl', 'qfrc_applied', 'xfrc_applied',
+    'mocap_pos', 'mocap_quat', 'time'))
+
+_NS_OF_AXIS = {
+    'body': 'body', 'joint': 'joint', 'qvel': 'joint', 'qpos': 'joint',
+    'geom': 'geom', 'site': 'site', 'camera': 'camera',
+    'tendon': 'tendon', 'actuator': 'actuator', 'sensordata': 'sensor',
 }
+
+_STRIP_PREFIXES = ('body_', 'jnt_', 'dof_', 'geom_', 'site_', 'cam_',
+                   'tendon_', 'ten_', 'actuator_')
+
+
+def _attr_name(field: str) -> str:
+  for p in _STRIP_PREFIXES:
+    if field.startswith(p):
+      return field[len(p):]
+  return field
+
+
+def _generate_bind_table(named):
+  table = {}
+  for field, (axis, _cols) in named.model_fields.items():
+    ns = _NS_OF_AXIS.get(axis)
+    if ns is None:
+      continue
+    table.setdefault(ns, {})[_attr_name(field)] = ('model', field,
+                                                   False)
+  for field, (axis, _cols) in named.data_fields.items():
+    ns = _NS_OF_AXIS.get(axis)
+    if ns is None:
+      continue
+    needs_fwd = field not in _STATE_DATA_FIELDS
+    table.setdefault(ns, {})[_attr_name(field)] = ('data', field,
+                                                   needs_fwd)
+  for field, axis in named.data_mat_fields.items():
+    ns = _NS_OF_AXIS.get(axis)
+    if ns is None:
+      continue
+    table.setdefault(ns, {})[_attr_name(field)] = ('data', field, True)
+  return table
+
+
+def _doc_order_elements(root, namespace):
+  """All elements of a namespace in document (compile) order."""
+  out = []
+
+  def walk(e):
+    for c in e._children:
+      if c.tag == 'default':
+        continue   # class templates, not model elements
+      if c.spec['identifier'] == namespace:
+        out.append(c)
+      walk(c)
+
+  walk(root)
+  for _frame, sub, _prefix in root._attachments:
+    out.extend(_doc_order_elements(sub, namespace))
+  return out
 
 
 class Binding:
@@ -92,8 +98,13 @@ class Binding:
     object.__setattr__(self, '_single', len(names) == 1)
 
   def _table(self):
+    physics = self._physics
+    cache = getattr(physics, '_bind_table_cache', None)
+    if cache is None:
+      cache = _generate_bind_table(physics.named)
+      physics._bind_table_cache = cache
     try:
-      return _BIND_ATTRS[self._namespace]
+      return cache[self._namespace]
     except KeyError:
       raise AttributeError(
           f'cannot bind namespace {self._namespace!r}') from None
@@ -109,8 +120,7 @@ class Binding:
     if needs_fwd and physics._needs_forward():
       physics.forward()
     indexer = self._indexer(kind, field)
-    key = self._names[0] if self._single else self._names
-    return indexer[key]
+    return indexer[self._key(indexer)]
 
   def __setattr__(self, attr, value):
     table = self._table()
@@ -119,21 +129,31 @@ class Binding:
           f'{self._namespace} binding has no attribute {attr!r}')
     kind, field, _ = table[attr]
     indexer = self._indexer(kind, field)
-    key = self._names[0] if self._single else self._names
-    indexer[key] = value
+    indexer[self._key(indexer)] = value
 
   def _indexer(self, kind, field):
-    physics = self._physics
-    named = physics.named
-    if kind in ('data_named', 'data_jnt'):
-      return getattr(named.data, field)
-    if kind == 'data_ragged':
-      return getattr(named.data, field)
-    if kind in ('model_named', 'model_jnt'):
-      return getattr(named.model, field)
-    if kind == 'model_dof':
-      return getattr(named.model, field)
-    raise AssertionError(kind)
+    named = self._physics.named
+    return getattr(named.data if kind == 'data' else named.model, field)
+
+  def _key(self, indexer):
+    """Index key for this binding: names pass through; positional
+    (unnamed-element) indices map through the axis spans so ragged
+    fields (e.g. a freejoint's 7 qpos rows) resolve correctly."""
+    axis = indexer.axes
+    if self._single:
+      k = self._names[0]
+      return k if isinstance(k, str) else axis.element_rows(k)
+    out = []
+    for k in self._names:
+      if isinstance(k, str):
+        out.append(k)
+        continue
+      rows = axis.element_rows(k)
+      if isinstance(rows, slice):
+        out.extend(range(rows.start, rows.stop))
+      else:
+        out.append(rows)
+    return out
 
 
 class Physics(engine.Physics):
@@ -168,11 +188,24 @@ class Physics(engine.Physics):
       raise ValueError(
           f'element {elements[0].tag!r} is not bindable')
     names = []
+    all_in_ns = None
     for e in elements:
       if e.spec['identifier'] != namespace:
         raise ValueError('all bound elements must share a namespace')
       name = e.full_identifier
       if name is None:
-        raise ValueError(f'element {e!r} has no name')
+        # unnamed elements bind positionally by compile order — the
+        # behavioural counterpart of the reference's element_id-based
+        # binding (reference mjcf/physics.py:276-296)
+        if all_in_ns is None:
+          root = self._mjcf_model.root if hasattr(
+              self._mjcf_model, 'root') else self._mjcf_model
+          all_in_ns = _doc_order_elements(root, namespace)
+        try:
+          name = all_in_ns.index(e)
+        except ValueError:
+          raise ValueError(
+              f'element {e!r} has no name and is not reachable from '
+              'the compiled model root') from None
       names.append(name)
     return Binding(self, namespace, names)

@@ -453,7 +453,9 @@ for _s in ('framepos', 'framequat', 'framexaxis', 'frameyaxis',
   SCHEMA[_s] = {
       'attributes': {'name': ('identifier', None),
                      'objtype': ('keyword', None),
-                     'objname': ('str', None),
+                     # cross-namespace reference; the attachment prefix
+                     # applies regardless of the referenced namespace
+                     'objname': ('reference:any', None),
                      'cutoff': ('float', None)},
       'children': (), 'repeatable': True, 'identifier': 'sensor'}
 for _s in ('subtreecom', 'subtreelinvel', 'subtreeangmom'):

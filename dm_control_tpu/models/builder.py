@@ -466,8 +466,14 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
   nefc_max += int(np.sum(dof_frictionloss > 0))
   nefc_max += sum(1 for j in c.joints if j.limited)
   nefc_max += sum(1 for t in c.tendons if t['limited'])
+  elliptic = int(c.option['cone']) == int(constants.ConeType.ELLIPTIC)
   for dim in sel_condim:
-    nefc_max += 1 if dim == 1 else 2 * (dim - 1)
+    if dim == 1:
+      nefc_max += 1
+    elif elliptic:
+      nefc_max += dim        # raw rows: normal + (dim-1) friction axes
+    else:
+      nefc_max += 2 * (dim - 1)   # pyramid edge pairs
 
   # ---------------- assemble ----------------
   # Leaves stay as HOST numpy arrays: they are valid pytree leaves,
@@ -493,10 +499,42 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
       enableflags=int(c.option['enableflags']),
   )
 
+  # heightfield assets (grid shape static; elevation a device leaf so
+  # tasks can re-randomize terrain per episode)
+  hf_names = [h['name'] for h in c.hfields]
+  hfield_adr = []
+  _adr = 0
+  for h in c.hfields:
+    hfield_adr.append(_adr)
+    _adr += h['nrow'] * h['ncol']
+  hfield_data = np.zeros(_adr)
+  for h, a0 in zip(c.hfields, hfield_adr):
+    if h['data'] is not None:
+      hfield_data[a0:a0 + h['nrow'] * h['ncol']] = h['data'].reshape(-1)
+  hfield_size = (np.stack([h['size'] for h in c.hfields])
+                 if c.hfields else np.zeros((0, 4)))
+  geom_dataid = tuple(
+      hf_names.index(g.dataname)
+      if (g.gtype == int(constants.GeomType.HFIELD)
+          and g.dataname in hf_names) else -1
+      for g in c.geoms)
+  for g in c.geoms:
+    # hfield geom size mirrors its asset's (rx, ry, ztop)
+    if g.gtype == int(constants.GeomType.HFIELD) and g.dataname in hf_names:
+      g.size = np.array(
+          c.hfields[hf_names.index(g.dataname)]['size'][:3])
+
   m = types.Model(
       nq=nq, nv=nv, nu=nu, na=na, nbody=nbody, njnt=njnt, ngeom=ngeom,
       nsite=nsite, ncam=len(c.cams), nlight=len(c.lights),
       ntendon=ntendon, nwrap=nwrap,
+      nhfield=len(c.hfields),
+      hfield_nrow=tuple(h['nrow'] for h in c.hfields),
+      hfield_ncol=tuple(h['ncol'] for h in c.hfields),
+      hfield_adr=tuple(hfield_adr),
+      hfield_size=f(hfield_size),
+      hfield_data=f(hfield_data),
+      geom_dataid=geom_dataid,
       nsensor=len(c.sensors), nsensordata=nsensordata, neq=neq,
       nmocap=c.nmocap, nkey=len(c.keys),
       body_parentid=tuple(body_parentid),

@@ -46,6 +46,10 @@ _PAIR_NCON = {
     (_G.CAPSULE, _G.CYLINDER): 2,
     (_G.CAPSULE, _G.BOX): 2,
     (_G.BOX, _G.BOX): 8,
+    (_G.HFIELD, _G.SPHERE): 1,
+    (_G.HFIELD, _G.CAPSULE): 2,
+    (_G.HFIELD, _G.ELLIPSOID): 1,
+    (_G.HFIELD, _G.BOX): 4,
 }
 
 _SENSOR_INFO = {
@@ -294,6 +298,7 @@ class _Geom:
   mass: Optional[float]
   density: float
   rgba: np.ndarray
+  dataname: str = ''    # referenced hfield/mesh asset name
 
 
 # ---------------------------------------------------------------------------
@@ -313,7 +318,7 @@ def _geom_volume(gtype: int, size: np.ndarray) -> float:
     return 8.0 * size[0] * size[1] * size[2]
   if gtype == _G.ELLIPSOID:
     return 4.0 / 3.0 * math.pi * size[0] * size[1] * size[2]
-  if gtype == _G.PLANE:
+  if gtype in (_G.PLANE, _G.HFIELD):
     return 0.0
   raise _MJCFError(f'volume for geom type {gtype} not supported')
 
@@ -401,6 +406,7 @@ class Compiler:
     self.explicit_pairs: List[dict] = []
     self.keys: List[dict] = []
     self.nmocap = 0
+    self.hfields: List[dict] = []
 
   # ---------------- includes ----------------
 
@@ -473,7 +479,15 @@ class Compiler:
         self._parse_compiler(elem)
       elif elem.tag == 'default':
         self.defaults.parse(elem)
-    self.option = self._parse_option(self.root.find('option'))
+      elif elem.tag == 'asset':
+        self._parse_asset(elem)
+    # multiple <option> elements merge in document order (C compiler
+    # semantics; e.g. reference suite/lqr.xml splits timestep and flags)
+    self.option = None
+    for opt_elem in self.root.findall('option'):
+      self.option = self._parse_option(opt_elem, self.option)
+    if self.option is None:
+      self.option = self._parse_option(None)
 
     world = self.root.find('worldbody')
     if world is None:
@@ -499,6 +513,26 @@ class Compiler:
         self._parse_keyframe(elem)
     return self
 
+  def _parse_asset(self, elem):
+    """Parse <asset>: heightfields are structural (collision geometry);
+    textures/materials/meshes-without-consumers are visual-only and
+    recorded by name where needed later (rasterizer)."""
+    for child in elem:
+      if child.tag == 'hfield':
+        nrow = int(child.get('nrow', '0'))
+        ncol = int(child.get('ncol', '0'))
+        size = _floats(child.get('size', '1 1 1 0.1'), 4)
+        data = None
+        if child.get('elevation'):
+          data = np.fromstring(child.get('elevation'), sep=' ')
+          data = data.reshape(nrow, ncol)
+          lo, hi = data.min(), data.max()
+          if hi > lo:
+            data = (data - lo) / (hi - lo)   # C compiler normalization
+        self.hfields.append(dict(
+            name=child.get('name', f'hfield{len(self.hfields)}'),
+            nrow=nrow, ncol=ncol, size=size, data=data))
+
   def _parse_compiler(self, elem):
     self.angle = elem.get('angle', self.angle)
     self.eulerseq = elem.get('eulerseq', self.eulerseq)
@@ -514,8 +548,8 @@ class Compiler:
       self.autolimits = _bool(elem.get('autolimits'))
     self.inertiafromgeom = elem.get('inertiafromgeom', self.inertiafromgeom)
 
-  def _parse_option(self, elem) -> dict:
-    o = dict(
+  def _parse_option(self, elem, prior: dict = None) -> dict:
+    o = prior if prior is not None else dict(
         timestep=0.002, gravity=np.array([0.0, 0, -9.81]),
         wind=np.zeros(3), magnetic=np.array([0.0, -0.5, 0.0]),
         density=0.0, viscosity=0.0, impratio=1.0, tolerance=1e-8,
@@ -543,16 +577,17 @@ class Compiler:
       o['iterations'] = int(elem.get('iterations'))
     if 'ls_iterations' in elem.attrib:
       o['ls_iterations'] = int(elem.get('ls_iterations'))
-    integ = elem.get('integrator', 'Euler')
-    o['integrator'] = {
-        'Euler': constants.IntegratorType.EULER,
-        'RK4': constants.IntegratorType.RK4,
-        'implicit': constants.IntegratorType.IMPLICIT,
-        'implicitfast': constants.IntegratorType.IMPLICITFAST,
-    }[integ]
-    cone = elem.get('cone', 'pyramidal')
-    o['cone'] = (constants.ConeType.ELLIPTIC if cone == 'elliptic'
-                 else constants.ConeType.PYRAMIDAL)
+    if 'integrator' in elem.attrib:
+      o['integrator'] = {
+          'Euler': constants.IntegratorType.EULER,
+          'RK4': constants.IntegratorType.RK4,
+          'implicit': constants.IntegratorType.IMPLICIT,
+          'implicitfast': constants.IntegratorType.IMPLICITFAST,
+      }[elem.get('integrator')]
+    if 'cone' in elem.attrib:
+      o['cone'] = (constants.ConeType.ELLIPTIC
+                   if elem.get('cone') == 'elliptic'
+                   else constants.ConeType.PYRAMIDAL)
     flag = elem.find('flag')
     if flag is not None:
       dbits = dict(
@@ -703,7 +738,8 @@ class Compiler:
         margin=float(a.get('margin', '0')),
         gap=float(a.get('gap', '0')),
         mass=mass, density=float(a.get('density', '1000')),
-        rgba=_floats(a.get('rgba', '0.5 0.5 0.5 1'), 4)))
+        rgba=_floats(a.get('rgba', '0.5 0.5 0.5 1'), 4),
+        dataname=a.get('hfield', a.get('mesh', ''))))
 
   def _parse_site(self, elem, bodyid: int, childclass: str):
     d = self.defaults.resolve('site', elem.get('class', childclass))

@@ -139,6 +139,15 @@ class Model(_Base):
   geom_conaffinity: Tuple[int, ...] = _field(meta=True, default=())
   geom_condim: Tuple[int, ...] = _field(meta=True, default=())
   geom_priority: Tuple[int, ...] = _field(meta=True, default=())
+  geom_dataid: Tuple[int, ...] = _field(meta=True, default=())
+
+  # heightfields: grid shape/addressing is static (shapes); elevation
+  # data is a device leaf so tasks can re-randomize terrain per episode
+  # (reference suite/quadruped.py Escape writes model.hfield_data)
+  nhfield: int = _field(meta=True, default=0)
+  hfield_nrow: Tuple[int, ...] = _field(meta=True, default=())
+  hfield_ncol: Tuple[int, ...] = _field(meta=True, default=())
+  hfield_adr: Tuple[int, ...] = _field(meta=True, default=())
 
   site_bodyid: Tuple[int, ...] = _field(meta=True, default=())
   site_type: Tuple[int, ...] = _field(meta=True, default=())
@@ -234,6 +243,9 @@ class Model(_Base):
   geom_margin: jax.Array = None
   geom_gap: jax.Array = None
   geom_rgba: jax.Array = None
+
+  hfield_size: jax.Array = None     # (nhfield, 4) rx ry ztop zbottom
+  hfield_data: jax.Array = None     # (sum nrow*ncol,) normalized [0,1]
 
   site_pos: jax.Array = None
   site_quat: jax.Array = None

@@ -35,11 +35,15 @@ class _Named:
 
   def __init__(self, physics):
     axes = index_lib.make_axes(physics.model)
+    model_fields, data_fields, mat_fields = index_lib.build_tables(
+        physics.model, physics.data)
     self.data = index_lib.NamedView(
-        physics, index_lib.DATA_FIELDS, index_lib.DATA_MAT_FIELDS,
-        axes, 'data')
+        physics, data_fields, mat_fields, axes, 'data')
     self.model = index_lib.NamedView(
-        physics, index_lib.MODEL_FIELDS, None, axes, 'model')
+        physics, model_fields, None, axes, 'model')
+    self.model_fields = model_fields
+    self.data_fields = data_fields
+    self.data_mat_fields = mat_fields
 
 
 class Physics:
@@ -253,10 +257,25 @@ class Physics:
     self._named = None
     self.legacy_step = True
 
-  def render(self, *args, **kwargs):
-    raise NotImplementedError(
-        'on-device rasterizer lands in a later milestone; '
-        'use state observables meanwhile')
+  def render(self, height: int = 240, width: int = 320,
+             camera_id=-1, overlays=(), depth: bool = False,
+             segmentation: bool = False, scene_option=None,
+             render_flag_overrides=None):
+    """Render a frame via the on-device ray-caster.
+
+    Output contracts match the reference Camera.render
+    (reference dm_control/mujoco/engine.py:178-233, 840-946): uint8
+    RGB, float metric depth, or int32 (objid, objtype) segmentation.
+    """
+    from dm_control_tpu.render import rasterizer
+    if isinstance(camera_id, str):
+      camera_id = self.model.names.name2id('camera', camera_id)
+    if self._dirty_fields or self._model_dirty:
+      self.forward()   # staged writes -> fresh geom poses
+    out = rasterizer.render(
+        self.model, self.data, height=height, width=width,
+        camera_id=camera_id, depth=depth, segmentation=segmentation)
+    return np.asarray(out)
 
 
 def action_spec(physics: Physics):

@@ -43,13 +43,28 @@ class Axis:
       if hi - lo == 1:
         return lo
       return slice(lo, hi)
-    if isinstance(key, (list, tuple)) and key and isinstance(
-        key[0], str):
+    if isinstance(key, (list, tuple)) and key and any(
+        isinstance(k, str) for k in key):
+      # names and positional indices may mix (unnamed elements bind
+      # positionally — see mjcf/physics.py bind)
       out = []
       for k in key:
-        lo, hi = self._lookup[k]
-        out.extend(range(lo, hi))
+        if isinstance(k, str):
+          lo, hi = self._lookup[k]
+          out.extend(range(lo, hi))
+        else:
+          out.append(int(k))
       return np.array(out, dtype=int)
+    return key
+
+  def element_rows(self, key):
+    """Row index/slice for ELEMENT index `key` (span-aware): for
+    ragged axes, element i owns spans[i]; for regular axes this is the
+    identity. Used by positional (unnamed-element) bindings."""
+    if isinstance(key, (int, np.integer)) and 0 <= key < len(
+        self._spans):
+      lo, hi = self._spans[key]
+      return lo if hi - lo == 1 else slice(lo, hi)
     return key
 
   @property
@@ -195,6 +210,95 @@ MODEL_FIELDS = {
     'cam_pos': ('camera', _COLUMN_NAMES[3]),
     'wrap_prm': (None, None),
 }
+
+
+# ---------------------------------------------------------------------------
+# generated field tables
+#
+# The hand-curated tables above pin down column names and ragged axes
+# for the common fields; `build_tables` AUGMENTS them with every other
+# array field of Model/Data whose row axis is derivable from its name
+# prefix and leading dimension — the TPU equivalent of the reference's
+# sizes.array_sizes-generated attribute inventory (reference
+# dm_control/mujoco/index.py:94-174, mjcf/physics.py:94-117). Binding
+# or named-indexing any schema-known attribute then works without a
+# per-attribute allowlist.
+# ---------------------------------------------------------------------------
+
+_PREFIX_AXIS = {
+    'body_': ('body', 'nbody'),
+    'jnt_': ('joint', 'njnt'),
+    'dof_': ('qvel', 'nv'),
+    'geom_': ('geom', 'ngeom'),
+    'site_': ('site', 'nsite'),
+    'cam_': ('camera', 'ncam'),
+    'tendon_': ('tendon', 'ntendon'),
+    'ten_': ('tendon', 'ntendon'),
+    'actuator_': ('actuator', 'nu'),
+}
+
+# body-axis Data fields have no prefix in mjData naming
+_BODY_DATA_FIELDS = ('xpos', 'xquat', 'xipos', 'subtree_com',
+                     'subtree_linvel', 'subtree_angmom', 'cvel',
+                     'xfrc_applied')
+
+
+def _axis_of(name: str, leading: int, m: Model):
+  """Infer the row axis of an array field, or None."""
+  if name in _BODY_DATA_FIELDS:
+    return 'body' if leading == m.nbody else None
+  if name == 'qpos':
+    return 'qpos'
+  if name.startswith(('qvel', 'qacc', 'qfrc', 'qM', 'qLD')):
+    return 'qvel' if leading == m.nv else None
+  if name in ('ctrl',):
+    return 'actuator'
+  if name == 'sensordata':
+    return 'sensordata'
+  for prefix, (axis, count) in _PREFIX_AXIS.items():
+    if name.startswith(prefix):
+      return axis if leading == getattr(m, count) else None
+  return None
+
+
+def build_tables(m: Model, d) -> Tuple[Dict, Dict, Dict]:
+  """(model_fields, data_fields, data_mat_fields) for this model,
+  covering every inferable array field."""
+  import dataclasses
+  model_fields = dict(MODEL_FIELDS)
+  data_fields = dict(DATA_FIELDS)
+  mat_fields = dict(DATA_MAT_FIELDS)
+
+  def scan(obj, fields, mats, skip):
+    for f in dataclasses.fields(type(obj)):
+      name = f.name
+      if name in fields or name in mats or name in skip:
+        continue
+      if not (f.metadata or {}).get('pytree_node', True):
+        continue   # static/meta field
+      arr = getattr(obj, name, None)
+      if arr is None or not hasattr(arr, 'shape') or not arr.shape:
+        continue
+      axis = _axis_of(name, arr.shape[0], m)
+      if axis is None:
+        continue
+      if arr.ndim == 3 and arr.shape[1:] == (3, 3):
+        mats[name] = axis
+      elif arr.ndim <= 2:
+        cols = None
+        if arr.ndim == 2:
+          w = arr.shape[1]
+          if name.endswith('range'):
+            cols = ('min', 'max')
+          elif w in _COLUMN_NAMES:
+            cols = _COLUMN_NAMES[w]
+        fields[name] = (axis, cols)
+
+  scan(m, model_fields, {}, skip=('qpos0', 'qpos_spring'))
+  scan(d, data_fields, mat_fields, skip=())
+  model_fields.setdefault('qpos0', ('qpos', None))
+  model_fields.setdefault('qpos_spring', ('qpos', None))
+  return model_fields, data_fields, mat_fields
 
 
 class NamedView:

@@ -395,6 +395,99 @@ _FUNCS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# heightfield narrowphase
+#
+# The C engine collides geoms against the triangular prisms under their
+# AABB (dynamic work per step). The TPU formulation treats the field as
+# a smooth bilinear surface: sample height + gradient under candidate
+# points, contact along the local surface normal. Exact for sphere-ish
+# geoms on terrain whose features are larger than the geom (the
+# reference's use case: randomized bowls/bumps, reference
+# suite/quadruped.py Escape, locomotion/arenas/bowl.py), approximate at
+# sharp cliffs.
+# ---------------------------------------------------------------------------
+
+
+def _hfield_surface(grid, nrow, ncol, rx, ry, ztop, pl):
+  """Bilinear height and outward normal at local xy of one point."""
+  dtype = pl.dtype
+  u = (pl[0] + rx) / (2.0 * rx) * (ncol - 1)
+  v = (pl[1] + ry) / (2.0 * ry) * (nrow - 1)
+  iu = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, ncol - 2)
+  iv = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, nrow - 2)
+  fu = jnp.clip(u - iu, 0.0, 1.0)
+  fv = jnp.clip(v - iv, 0.0, 1.0)
+  h00 = grid[iv, iu]
+  h01 = grid[iv, iu + 1]
+  h10 = grid[iv + 1, iu]
+  h11 = grid[iv + 1, iu + 1]
+  h = ((1 - fv) * ((1 - fu) * h00 + fu * h01) +
+       fv * ((1 - fu) * h10 + fu * h11)) * ztop
+  dhdx = (((1 - fv) * (h01 - h00) + fv * (h11 - h10)) * ztop *
+          (ncol - 1) / (2.0 * rx))
+  dhdy = (((1 - fu) * (h10 - h00) + fu * (h11 - h01)) * ztop *
+          (nrow - 1) / (2.0 * ry))
+  n = jnp.stack([-dhdx, -dhdy, jnp.ones((), dtype)])
+  n = n / jnp.linalg.norm(n)
+  inside = (jnp.abs(pl[0]) <= rx) & (jnp.abs(pl[1]) <= ry)
+  return h, n, inside
+
+
+def _hfield_points(hpos, hmat, hsize, grid, nrow, ncol, points, radius):
+  """Point-sphere contacts against the field. points (P, 3) world."""
+  rx, ry, ztop = hsize[0], hsize[1], hsize[2]
+
+  def one(p):
+    pl = hmat.T @ (p - hpos)
+    h, n_l, inside = _hfield_surface(grid, nrow, ncol, rx, ry, ztop, pl)
+    dist = (pl[2] - h) * n_l[2] - radius
+    dist = jnp.where(inside, dist, _BIG)
+    pos_l = pl - n_l * (radius + 0.5 * dist)
+    return dist, hpos + hmat @ pos_l, hmat @ n_l
+
+  return jax.vmap(one)(points)
+
+
+def _hfield_candidate(m: Model, d: Data, ci: int, dtype):
+  """Contacts for one hfield candidate pair -> (dist(k,), pos, n)."""
+  g_hf = m.cpair_geom1[ci]
+  g2 = m.cpair_geom2[ci]
+  t2 = m.geom_type[g2]
+  hid = m.geom_dataid[g_hf]
+  nrow, ncol = m.hfield_nrow[hid], m.hfield_ncol[hid]
+  adr = m.hfield_adr[hid]
+  grid = jnp.asarray(
+      m.hfield_data[adr:adr + nrow * ncol], dtype).reshape(nrow, ncol)
+  hsize = jnp.asarray(m.hfield_size[hid], dtype)
+  hpos = d.geom_xpos[g_hf]
+  hmat = d.geom_xmat[g_hf]
+  p2 = d.geom_xpos[g2]
+  m2 = d.geom_xmat[g2]
+  s2 = jnp.asarray(m.geom_size)[g2].astype(dtype)
+  if t2 == _G.SPHERE:
+    return _hfield_points(hpos, hmat, hsize, grid, nrow, ncol,
+                          p2[None], s2[0])
+  if t2 == _G.CAPSULE:
+    axis = m2[:, 2]
+    ends = jnp.stack([p2 + axis * s2[1], p2 - axis * s2[1]])
+    return _hfield_points(hpos, hmat, hsize, grid, nrow, ncol,
+                          ends, s2[0])
+  if t2 == _G.ELLIPSOID:
+    return _hfield_points(hpos, hmat, hsize, grid, nrow, ncol,
+                          p2[None], jnp.min(s2))
+  if t2 == _G.BOX:
+    signs = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                      for sz in (-1, 1)])
+    corners = p2 + (jnp.asarray(signs, dtype) * s2[None, :3]) @ m2.T
+    dd, pp, nn = _hfield_points(hpos, hmat, hsize, grid, nrow, ncol,
+                                corners, jnp.zeros((), dtype))
+    idx = jnp.argsort(dd)[:4]
+    return dd[idx], pp[idx], nn[idx]
+  raise NotImplementedError(
+      f'hfield vs geom type {t2} has no narrowphase kernel')
+
+
 def collision(m: Model, d: Data) -> Data:
   """Narrowphase over all candidate pairs, then contact compaction.
 
@@ -418,13 +511,14 @@ def collision(m: Model, d: Data) -> Data:
     groups.setdefault((t1, t2), []).append(ci)
 
   # slot start offset per candidate
+  from dm_control_tpu.models.compiler import _PAIR_NCON
   slot_of = []
   off = 0
   for ci in range(ncand):
     t1 = m.geom_type[m.cpair_geom1[ci]]
     t2 = m.geom_type[m.cpair_geom2[ci]]
     slot_of.append(off)
-    off += _FUNCS[(t1, t2)][1]
+    off += _PAIR_NCON[(t1, t2)]
 
   dist = jnp.full(m.ncon_max, _BIG, dtype=dtype)
   pos = jnp.zeros((m.ncon_max, 3), dtype=dtype)
@@ -436,13 +530,22 @@ def collision(m: Model, d: Data) -> Data:
                     (m.ncon_max, 1))
 
   for (t1, t2), cand in groups.items():
-    fn, k = _FUNCS[(t1, t2)]
-    g1 = jnp.array([m.cpair_geom1[ci] for ci in cand], dtype=jnp.int32)
-    g2 = jnp.array([m.cpair_geom2[ci] for ci in cand], dtype=jnp.int32)
-    gsize = jnp.asarray(m.geom_size)
-    dd, pp, nn = jax.vmap(fn)(
-        d.geom_xpos[g1], d.geom_xmat[g1], gsize[g1],
-        d.geom_xpos[g2], d.geom_xmat[g2], gsize[g2])
+    if t1 == _G.HFIELD:
+      k = _PAIR_NCON[(t1, t2)]
+      outs = [_hfield_candidate(m, d, ci, dtype) for ci in cand]
+      dd = jnp.stack([o[0] for o in outs])
+      pp = jnp.stack([o[1] for o in outs])
+      nn = jnp.stack([o[2] for o in outs])
+    else:
+      fn, k = _FUNCS[(t1, t2)]
+      g1 = jnp.array([m.cpair_geom1[ci] for ci in cand],
+                     dtype=jnp.int32)
+      g2 = jnp.array([m.cpair_geom2[ci] for ci in cand],
+                     dtype=jnp.int32)
+      gsize = jnp.asarray(m.geom_size)
+      dd, pp, nn = jax.vmap(fn)(
+          d.geom_xpos[g1], d.geom_xmat[g1], gsize[g1],
+          d.geom_xpos[g2], d.geom_xmat[g2], gsize[g2])
     # contact parameter merging per candidate
     mrg, gap, fric, sref, simp = _merge_params(m, cand, dtype)
     slots = jnp.array(

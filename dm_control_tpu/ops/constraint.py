@@ -43,6 +43,190 @@ class _Rows(NamedTuple):
   eq_mask: jax.Array  # (nefc,) 1.0 for always-active (equality) rows
   slot_active: jax.Array  # (nefc,) 1.0 if row exists this step
   frictionloss: jax.Array  # reserved
+  mu: jax.Array       # (nefc,) circularized friction coef, elliptic
+                      # contact rows only (0 elsewhere)
+
+
+def _elliptic_groups(m: Model):
+  """Static [(row_start, nslots, condim)] for elliptic contact blocks.
+
+  Elliptic contacts emit condim raw rows per slot (normal + scaled
+  friction axes, see make_rows); the solver treats each block with the
+  exact cone cost (oracle: engine_core_constraint.c, elliptic branch).
+  Empty for pyramidal models — every caller then takes the fast
+  row-independent path.
+  """
+  if int(m.opt.cone) != int(constants.ConeType.ELLIPTIC):
+    return []
+  if (m.opt.disableflags & constants.DisableBit.CONTACT) or not m.ncon_sel:
+    return []
+  idx = _num_noncontact_rows(m)
+  out = []
+  for c in _contact_condim_groups(m):
+    k = sum(1 for s in range(m.ncon_sel) if m.sel_condim[s] == c)
+    if c == 1:
+      idx += k
+    else:
+      out.append((idx, k, c))
+      idx += k * c
+  return out
+
+
+def _elliptic_spring_scale(m: Model, nefc: int):
+  """Static (nefc,) 0/1 mask: 0 on elliptic friction rows, whose aref
+  has no position-spring term (their constraint 'pos' is 0 in the
+  oracle; we carry the contact depth there so the impedance still
+  follows penetration)."""
+  mask = np.ones(nefc)
+  for (s0, k, c) in _elliptic_groups(m):
+    blk = np.ones((k, c))
+    blk[:, 1:] = 0.0
+    mask[s0:s0 + k * c] = blk.reshape(-1)
+  return mask
+
+
+# ---------------------------------------------------------------------------
+# cone-aware row functions
+#
+# The Newton solver only touches constraint rows through four maps:
+# force f(jar), Gauss-Newton weights/rows for H, per-row cost, and the
+# line-search directional terms. For pyramidal models every map is
+# row-independent; elliptic contacts couple each contact's `condim`
+# rows through the exact cone zones (top: separating, no force;
+# bottom: inside the polar cone, all components penalized; middle:
+# sliding, cost = 0.5 D (mu T - N)^2 / (1 + mu^2), the weighted
+# distance-to-cone — oracle engine_core_constraint.c).
+# ---------------------------------------------------------------------------
+
+
+def _ell_block(x, s0, k, c):
+  return x[..., s0:s0 + k * c].reshape(x.shape[:-1] + (k, c))
+
+
+def _ell_zones(ub, mub):
+  N = ub[..., 0]
+  uT = ub[..., 1:]
+  T = jnp.sqrt(jnp.sum(uT * uT, axis=-1) + 1e-24)
+  top = N >= mub * T
+  bottom = mub * N + T <= 0.0
+  s = mub * T - N
+  return N, uT, T, top, bottom, s
+
+
+def _row_force_cone(jar, dweight, eq, fric, floss, mu, groups):
+  pen = -dweight * jar
+  base = jnp.where(eq | (jar < 0), pen, 0.0)
+  out = jnp.where(fric, jnp.clip(pen, -floss, floss), base)
+  for (s0, k, c) in groups:
+    ub = _ell_block(jar, s0, k, c)
+    Db = _ell_block(dweight, s0, k, c)[..., 0]
+    mub = _ell_block(mu, s0, k, c)[..., 0]
+    N, uT, T, top, bottom, s = _ell_zones(ub, mub)
+    f_bot = -Db[..., None] * ub
+    coef = Db * s / (1.0 + mub * mub)
+    f_mid = jnp.concatenate(
+        [coef[..., None], (-coef * mub / T)[..., None] * uT], axis=-1)
+    fb = jnp.where(top[..., None], 0.0,
+                   jnp.where(bottom[..., None], f_bot, f_mid))
+    out = out.at[..., s0:s0 + k * c].set(
+        fb.reshape(fb.shape[:-2] + (k * c,)))
+  return out
+
+
+def _cost_rows_cone(jar, dweight, eq, fric, floss, mu, groups):
+  w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
+  quad = 0.5 * w_base * jar * jar
+  quad_fr = 0.5 * dweight * jar * jar
+  lin_fr = (floss * jnp.abs(jar) -
+            0.5 * floss * floss / jnp.maximum(dweight, 1e-12))
+  cost_fr = jnp.where(jnp.abs(dweight * jar) < floss, quad_fr, lin_fr)
+  rowcost = jnp.where(fric, cost_fr, quad)
+  for (s0, k, c) in groups:
+    ub = _ell_block(jar, s0, k, c)
+    Db = _ell_block(dweight, s0, k, c)[..., 0]
+    mub = _ell_block(mu, s0, k, c)[..., 0]
+    N, uT, T, top, bottom, s = _ell_zones(ub, mub)
+    c_bot = 0.5 * Db * jnp.sum(ub * ub, axis=-1)
+    c_mid = 0.5 * Db * s * s / (1.0 + mub * mub)
+    cb = jnp.where(top, 0.0, jnp.where(bottom, c_bot, c_mid))
+    blk = jnp.zeros_like(ub)
+    blk = blk.at[..., 0].set(cb)
+    rowcost = rowcost.at[..., s0:s0 + k * c].set(
+        blk.reshape(blk.shape[:-2] + (k * c,)))
+  return rowcost
+
+
+def _hess_cone(jar, J, dweight, eq, fric, floss, mu, groups):
+  """Gauss-Newton weights w and (possibly transformed) rows Jh with
+  H = M + Jh diag(w) Jh'. Middle-zone elliptic contacts contribute one
+  rank-1 term along the cone-distance gradient; its combined row
+  replaces the block's normal row."""
+  w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
+  w_fr = jnp.where(jnp.abs(dweight * jar) < floss, dweight, 0.0)
+  w = jnp.where(fric, w_fr, w_base)
+  Jh = J
+  for (s0, k, c) in groups:
+    ub = _ell_block(jar, s0, k, c)
+    Db = _ell_block(dweight, s0, k, c)[..., 0]
+    mub = _ell_block(mu, s0, k, c)[..., 0]
+    N, uT, T, top, bottom, s = _ell_zones(ub, mub)
+    middle = (~top) & (~bottom)
+    g = jnp.concatenate(
+        [-jnp.ones_like(N)[..., None], (mub / T)[..., None] * uT],
+        axis=-1)                                     # (..., k, c)
+    Jb = J[..., s0:s0 + k * c].reshape(J.shape[:-1] + (k, c))
+    comb = jnp.einsum('...vkc,...kc->...vk', Jb, g)
+    newrow = jnp.where(middle[..., None, :], comb, Jb[..., 0])
+    cols = s0 + np.arange(k) * c
+    Jh = Jh.at[..., cols].set(newrow)
+    w_n = jnp.where(middle, Db / (1.0 + mub * mub),
+                    jnp.where(bottom, Db, 0.0))
+    w_f = jnp.where(bottom[..., None], Db[..., None],
+                    jnp.zeros_like(ub[..., 1:]))
+    wb = jnp.concatenate([w_n[..., None], w_f], axis=-1)
+    w = w.at[..., s0:s0 + k * c].set(
+        wb.reshape(wb.shape[:-2] + (k * c,)))
+  return w, Jh
+
+
+def _ls_rows_cone(ra, jp, dweight, eq, fric, floss, mu, groups):
+  """Per-row (f(ra)·jp, w(ra)·jp²) terms for the exact line search."""
+  pen = -dweight * ra
+  base = jnp.where(eq | (ra < 0), pen, 0.0)
+  f = jnp.where(fric, jnp.clip(pen, -floss, floss), base)
+  w_base = jnp.where(eq | (ra < 0), dweight, 0.0)
+  w_fr = jnp.where(jnp.abs(dweight * ra) < floss, dweight, 0.0)
+  w = jnp.where(fric, w_fr, w_base)
+  dphi = f * jp
+  ddphi = w * jp * jp
+  for (s0, k, c) in groups:
+    ub = _ell_block(ra, s0, k, c)
+    jpb = _ell_block(jp, s0, k, c)
+    Db = _ell_block(dweight, s0, k, c)[..., 0]
+    mub = _ell_block(mu, s0, k, c)[..., 0]
+    N, uT, T, top, bottom, s = _ell_zones(ub, mub)
+    middle = (~top) & (~bottom)
+    f_bot = -Db[..., None] * ub
+    coef = Db * s / (1.0 + mub * mub)
+    f_mid = jnp.concatenate(
+        [coef[..., None], (-coef * mub / T)[..., None] * uT], axis=-1)
+    fb = jnp.where(top[..., None], 0.0,
+                   jnp.where(bottom[..., None], f_bot, f_mid))
+    fdotjp = jnp.sum(fb * jpb, axis=-1)              # (..., k)
+    gdotjp = (-jpb[..., 0] +
+              mub / T * jnp.sum(uT * jpb[..., 1:], axis=-1))
+    curv = jnp.where(
+        middle, Db / (1.0 + mub * mub) * gdotjp * gdotjp,
+        jnp.where(bottom, Db * jnp.sum(jpb * jpb, axis=-1), 0.0))
+    dblk = jnp.zeros_like(ub)
+    dblk = dblk.at[..., 0].set(fdotjp)
+    wblk = jnp.zeros_like(ub)
+    wblk = wblk.at[..., 0].set(curv)
+    dphi = dphi.at[..., s0:s0 + k * c].set(
+        dblk.reshape(dblk.shape[:-2] + (k * c,)))
+    ddphi = ddphi.at[..., s0:s0 + k * c].set(
+        wblk.reshape(wblk.shape[:-2] + (k * c,)))
+  return dphi, ddphi
 
 
 def _impedance(solimp, pos):
@@ -113,6 +297,8 @@ def make_rows(m: Model, d: Data) -> _Rows:
     rows_eq.append(eq)
     rows_active.append(active * one)
     rows_floss.append(0.0 * one)
+
+  elliptic = int(m.opt.cone) == int(constants.ConeType.ELLIPTIC)
 
   # ---------------- equality ----------------
   if not (disable & constants.DisableBit.EQUALITY):
@@ -258,7 +444,7 @@ def make_rows(m: Model, d: Data) -> _Rows:
   parts_J, parts_pos, parts_margin = [], [], []
   parts_solref, parts_solimp, parts_iw = [], [], []
   parts_eq, parts_active = [], []
-  parts_floss = []
+  parts_floss, parts_mu = [], []
   if rows_J:
     parts_J.append(jnp.stack(rows_J, axis=-1))            # (nv, n)
     parts_pos.append(jnp.stack(
@@ -271,8 +457,9 @@ def make_rows(m: Model, d: Data) -> _Rows:
     parts_eq.append(jnp.asarray(rows_eq, dtype=dtype))
     parts_active.append(jnp.stack(rows_active))
     parts_floss.append(jnp.stack(rows_floss))
+    parts_mu.append(jnp.zeros(len(rows_J), dtype=dtype))
 
-  # ---------------- contacts (pyramidal), vectorized by condim -------
+  # ---------------- contacts, vectorized by condim -------------------
   # All slot-level arrays are laid out (nv, slots): the trailing slot
   # axis is big (lane-friendly) and the assembly below concatenates
   # straight into the (nv, nefc) Jacobian without any transposes.
@@ -341,6 +528,36 @@ def make_rows(m: Model, d: Data) -> _Rows:
         parts_eq.append(jnp.zeros(k, dtype=dtype))
         parts_active.append(active)
         parts_floss.append(jnp.zeros(k, dtype=dtype))
+        parts_mu.append(jnp.zeros(k, dtype=dtype))
+      elif elliptic:
+        # elliptic cone: condim RAW rows per slot (normal + friction
+        # axes scaled by mu/mu_i so the cone is circular with
+        # coefficient mu = friction[0]; oracle mj_makeConstraint)
+        naxes = c - 1
+        axes = [jn[1][:, sl], jn[2][:, sl]]
+        if c >= 4:
+          axes.append(jr[0][:, sl])
+          if c >= 6:
+            axes.append(jr[1][:, sl])
+            axes.append(jr[2][:, sl])
+        mu_c = con.friction[sl, 0]                    # (k,)
+        fri = con.friction[sl, :naxes]                # (k, naxes)
+        scale = mu_c[:, None] / jnp.maximum(fri, 1e-12)
+        axes_s = jnp.stack(axes[:naxes], axis=2) * scale[None]
+        rows = jnp.concatenate(
+            [jn[0][:, sl][:, :, None], axes_s], axis=2)   # (nv, k, c)
+        rows = rows.reshape(nv, k * c)
+        rep = lambda x: jnp.repeat(x, c, axis=0)
+        parts_J.append(rows)
+        parts_pos.append(rep(dist))     # depth drives impedance on all
+        parts_margin.append(rep(margin))
+        parts_solref.append(rep(solref))
+        parts_solimp.append(rep(solimp))
+        parts_iw.append(rep(iw))
+        parts_eq.append(jnp.zeros(k * c, dtype=dtype))
+        parts_active.append(rep(active))
+        parts_floss.append(jnp.zeros(k * c, dtype=dtype))
+        parts_mu.append(rep(mu_c))
       else:
         naxes = c - 1
         axes = [jn[1][:, sl], jn[2][:, sl]]
@@ -370,12 +587,13 @@ def make_rows(m: Model, d: Data) -> _Rows:
         parts_eq.append(jnp.zeros(k * naxes * 2, dtype=dtype))
         parts_active.append(rep(active))
         parts_floss.append(jnp.zeros(k * naxes * 2, dtype=dtype))
+        parts_mu.append(jnp.zeros(k * naxes * 2, dtype=dtype))
 
   if not parts_J:
     z = jnp.zeros((0,), dtype=dtype)
     return _Rows(jnp.zeros((nv, 0), dtype=dtype), z, z,
                  jnp.zeros((0, 2), dtype=dtype),
-                 jnp.zeros((0, 5), dtype=dtype), z, z, z, z)
+                 jnp.zeros((0, 5), dtype=dtype), z, z, z, z, z)
 
   cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
   catj = (lambda xs: xs[0] if len(xs) == 1
@@ -390,6 +608,7 @@ def make_rows(m: Model, d: Data) -> _Rows:
       eq_mask=cat(parts_eq),
       slot_active=cat(parts_active),
       frictionloss=cat(parts_floss),
+      mu=cat(parts_mu),
   )
 
 
@@ -424,7 +643,8 @@ def fwd_constraint(m: Model, d: Data) -> Data:
   pmm = rows.pos - rows.margin
   imp = _impedance(rows.solimp, pmm)
   vel = d.qvel @ rows.J
-  aref = _kbip(m, rows.solref, rows.solimp, imp, pmm, vel)
+  spring = jnp.asarray(_elliptic_spring_scale(m, nefc), dtype)
+  aref = _kbip(m, rows.solref, rows.solimp, imp, pmm * spring, vel)
   r = jnp.maximum((1.0 - imp) / imp * rows.invweight, 1e-12)
   dweight = jnp.where(rows.slot_active > 0, 1.0 / r, 0.0)
 
@@ -434,36 +654,18 @@ def fwd_constraint(m: Model, d: Data) -> Data:
   eq = rows.eq_mask == 1.0
   fric = rows.eq_mask == 2.0
   floss = rows.frictionloss
+  groups = _elliptic_groups(m)
+  cone_args = (dweight, eq, fric, floss, rows.mu, groups)
 
   def row_force(jar):
-    pen = -dweight * jar
-    base = jnp.where(eq | (jar < 0), pen, 0.0)
-    return jnp.where(fric, jnp.clip(pen, -floss, floss), base)
-
-  def active_set(jar):
-    w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
-    w_fr = jnp.where(jnp.abs(dweight * jar) < floss, dweight, 0.0)
-    return jnp.where(fric, w_fr, w_base)
-
-  def cost_grad_hess(x):
-    jar = x @ J - aref
-    w = active_set(jar)
-    grad = M @ (x - a0) - J @ row_force(jar)
-    return jar, w, grad
+    return _row_force_cone(jar, *cone_args)
 
   # start from warmstart if it is finite and better than smooth
   def cost_of(x):
     jar = x @ J - aref
-    w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
-    quad = 0.5 * w_base * jar * jar
-    # friction rows: R-regularized huber cost
-    quad_fr = 0.5 * dweight * jar * jar
-    lin_fr = (floss * jnp.abs(jar) -
-              0.5 * floss * floss / jnp.maximum(dweight, 1e-12))
-    cost_fr = jnp.where(jnp.abs(dweight * jar) < floss, quad_fr, lin_fr)
-    rowcost = jnp.where(fric, cost_fr, quad)
     dv = x - a0
-    return 0.5 * dv @ (M @ dv) + jnp.sum(rowcost)
+    return 0.5 * dv @ (M @ dv) + jnp.sum(
+        _cost_rows_cone(jar, *cone_args))
 
   ws = jnp.where(jnp.all(jnp.isfinite(d.qacc_warmstart)),
                  d.qacc_warmstart, a0)
@@ -476,22 +678,39 @@ def fwd_constraint(m: Model, d: Data) -> Data:
   ls_iters = min(m.opt.ls_iterations, 8)
 
   def newton_iter(x):
-    jar, w, grad = cost_grad_hess(x)
-    H = M + jnp.einsum('ve,e,we->vw', J, w, J)
+    jar = x @ J - aref
+    w, Jh = _hess_cone(jar, J, *cone_args)
+    grad = M @ (x - a0) - J @ row_force(jar)
+    H = M + jnp.einsum('ve,e,we->vw', Jh, w, Jh)
     p = -linalg.solve_psd(H, grad)
     # exact line search on the piecewise quadratic phi(alpha)
     jp = p @ J
     pMp = p @ (M @ p)
     pM_dx = p @ (M @ (x - a0))
 
-    def ls_body(alpha, _):
+    # Safeguarded Newton on phi'(alpha): in a kinetic/inactive zone
+    # phi'' carries no constraint curvature, so a raw Newton step can
+    # jump across the kink and cycle between zones forever (measured on
+    # frictionloss rows). Keep a sign bracket and bisect whenever the
+    # Newton proposal leaves it.
+    def ls_body(carry, _):
+      alpha, lo, hi = carry
       ra = jar + alpha * jp
-      dphi = pM_dx + alpha * pMp - jnp.sum(row_force(ra) * jp)
-      ddphi = pMp + jnp.sum(active_set(ra) * jp * jp)
-      return alpha - dphi / jnp.maximum(ddphi, 1e-12), None
+      drows, ddrows = _ls_rows_cone(ra, jp, *cone_args)
+      dphi = pM_dx + alpha * pMp - jnp.sum(drows)
+      ddphi = pMp + jnp.sum(ddrows)
+      lo = jnp.where(dphi < 0, jnp.maximum(lo, alpha), lo)
+      hi = jnp.where(dphi > 0, jnp.minimum(hi, alpha), hi)
+      newton = alpha - dphi / jnp.maximum(ddphi, 1e-12)
+      inside = (newton > lo) & (newton < hi)
+      alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
+      return (alpha, lo, hi), None
 
-    alpha, _ = jax.lax.scan(ls_body, jnp.ones((), dtype=dtype),
-                            None, length=ls_iters, unroll=ls_iters)
+    (alpha, _, _), _ = jax.lax.scan(
+        ls_body,
+        (jnp.ones((), dtype=dtype), jnp.zeros((), dtype=dtype),
+         jnp.asarray(4.0, dtype=dtype)),
+        None, length=ls_iters, unroll=ls_iters)
     alpha = jnp.clip(alpha, 0.0, 4.0)
     return x + alpha * p
 
@@ -561,7 +780,8 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
   pmm = rows.pos - rows.margin
   imp = _impedance(rows.solimp, pmm)
   vel = jnp.einsum('bv,bve->be', D.qvel, rows.J)
-  aref = _kbip(m, rows.solref, rows.solimp, imp, pmm, vel)
+  spring = jnp.asarray(_elliptic_spring_scale(m, nefc), dtype)
+  aref = _kbip(m, rows.solref, rows.solimp, imp, pmm * spring, vel)
   r = jnp.maximum((1.0 - imp) / imp * rows.invweight, 1e-12)
   dweight = jnp.where(rows.slot_active > 0, 1.0 / r, 0.0)
 
@@ -571,16 +791,45 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
   eq = rows.eq_mask == 1.0
   fric = rows.eq_mask == 2.0
   floss = rows.frictionloss
+  mu_rows = rows.mu
+  groups = _elliptic_groups(m)
+
+  # ---- runtime row compaction -------------------------------------
+  # nefc here is the compile-time worst case, but a row only matters
+  # when dweight > 0 (violated limit / penetrating contact), which is
+  # fixed for the whole solve (position-dependent only) and empirically
+  # tiny: humanoid.run pads 225 rows, of which p99 = 5 are live. The C
+  # engine assembles exactly the live rows (dynamic nefc); the TPU
+  # equivalent is a per-env top-K over dweight, gathered through a
+  # one-hot matmul (one MXU pass over J) so every Newton iteration
+  # runs K-wide instead of nefc-wide. Lossless unless more than K rows
+  # are simultaneously live (then the lowest-impedance rows drop —
+  # the same soft contract as the compile-time contact budget).
+  nefc_full, J_full = nefc, J
+  _ROW_BUDGET = 64
+  # elliptic contact blocks must stay intact, so compaction (which
+  # selects individual rows) is pyramidal-only for now
+  compact = nefc > 96 and not groups
+  if compact:
+    K = _ROW_BUDGET
+    # equality / frictionloss rows are unconditionally live — bias the
+    # key so they can never be evicted by a pile-up of contacts
+    key = dweight + jnp.where(eq | fric, jnp.asarray(1e30, dtype), 0)
+    _, sel = jax.lax.top_k(key, K)                     # (B, K)
+    onehot = (sel[..., None] ==
+              jnp.arange(nefc)[None, None, :]).astype(dtype)
+    J = jnp.einsum('bve,bke->bvk', J_full, onehot)
+    aref = jnp.einsum('bke,be->bk', onehot, aref)
+    dweight = jnp.einsum('bke,be->bk', onehot, dweight)
+    floss = jnp.einsum('bke,be->bk', onehot, floss)
+    eq = jnp.einsum('bke,be->bk', onehot, eq.astype(dtype)) > 0.5
+    fric = jnp.einsum('bke,be->bk', onehot, fric.astype(dtype)) > 0.5
+    nefc = K
+
+  cone_args = (dweight, eq, fric, floss, mu_rows, groups)
 
   def row_force(jar):
-    pen = -dweight * jar
-    base = jnp.where(eq | (jar < 0), pen, 0.0)
-    return jnp.where(fric, jnp.clip(pen, -floss, floss), base)
-
-  def active_set(jar):
-    w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
-    w_fr = jnp.where(jnp.abs(dweight * jar) < floss, dweight, 0.0)
-    return jnp.where(fric, w_fr, w_base)
+    return _row_force_cone(jar, *cone_args)
 
   def jmul(x):                 # (B, nv) -> (B, nefc)
     return jnp.einsum('bv,bve->be', x, J)
@@ -593,16 +842,9 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
 
   def cost_of(x):
     jar = jmul(x) - aref
-    w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
-    quad = 0.5 * w_base * jar * jar
-    quad_fr = 0.5 * dweight * jar * jar
-    lin_fr = (floss * jnp.abs(jar) -
-              0.5 * floss * floss / jnp.maximum(dweight, 1e-12))
-    cost_fr = jnp.where(jnp.abs(dweight * jar) < floss, quad_fr, lin_fr)
-    rowcost = jnp.where(fric, cost_fr, quad)
     dv = x - a0
     return 0.5 * jnp.einsum('bi,bi->b', dv, mmul(dv)) + jnp.sum(
-        rowcost, axis=-1)
+        _cost_rows_cone(jar, *cone_args), axis=-1)
 
   ws = jnp.where(jnp.all(jnp.isfinite(D.qacc_warmstart), axis=-1,
                          keepdims=True), D.qacc_warmstart, a0)
@@ -615,23 +857,35 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
 
   def newton_iter(x):
     jar = jmul(x) - aref
-    w = active_set(jar)
+    w, Jh = _hess_cone(jar, J, *cone_args)
     grad = mmul(x - a0) - jtmul(row_force(jar))
-    H = M + jnp.einsum('bve,be,bwe->bvw', J, w, J)
+    H = M + jnp.einsum('bve,be,bwe->bvw', Jh, w, Jh)
     p = -pallas_kernels.chol_solve_batched(H, grad)
     jp = jmul(p)
     pMp = jnp.einsum('bi,bi->b', p, mmul(p))
     pM_dx = jnp.einsum('bi,bi->b', p, mmul(x - a0))
 
-    def ls_body(alpha, _):
+    # safeguarded Newton on phi' (bracket + bisection fallback) — see
+    # the per-env solver for why a raw Newton step can cycle
+    def ls_body(carry, _):
+      alpha, lo, hi = carry
       ra = jar + alpha[:, None] * jp
-      dphi = pM_dx + alpha * pMp - jnp.sum(row_force(ra) * jp, axis=-1)
-      ddphi = pMp + jnp.sum(active_set(ra) * jp * jp, axis=-1)
-      return alpha - dphi / jnp.maximum(ddphi, 1e-12), None
+      drows, ddrows = _ls_rows_cone(ra, jp, *cone_args)
+      dphi = pM_dx + alpha * pMp - jnp.sum(drows, axis=-1)
+      ddphi = pMp + jnp.sum(ddrows, axis=-1)
+      lo = jnp.where(dphi < 0, jnp.maximum(lo, alpha), lo)
+      hi = jnp.where(dphi > 0, jnp.minimum(hi, alpha), hi)
+      newton = alpha - dphi / jnp.maximum(ddphi, 1e-12)
+      inside = (newton > lo) & (newton < hi)
+      alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
+      return (alpha, lo, hi), None
 
-    alpha, _ = jax.lax.scan(
-        ls_body, jnp.ones(x.shape[0], dtype=dtype), None,
-        length=ls_iters, unroll=ls_iters)
+    Bn = x.shape[0]
+    (alpha, _, _), _ = jax.lax.scan(
+        ls_body,
+        (jnp.ones(Bn, dtype=dtype), jnp.zeros(Bn, dtype=dtype),
+         jnp.full(Bn, 4.0, dtype=dtype)),
+        None, length=ls_iters, unroll=ls_iters)
     alpha = jnp.clip(alpha, 0.0, 4.0)
     return x + alpha[:, None] * p
 
@@ -641,9 +895,21 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
   # iteration cap (the while_loop runs until EVERY env converges).
   eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
+  # Straggler cutoff: the batch steps in lockstep, so the slowest env
+  # sets the iteration count for all. Measured on humanoid.run: >97%
+  # of envs converge within 3 Newton iterations, but 1-2 near-divergent
+  # envs (about to be auto-reset) otherwise churn to the iteration cap,
+  # tripling total solver time. Once the active tail is below 1/1024 of
+  # the batch we stop; the stragglers keep their best-so-far qacc (the
+  # same contract as hitting opt.solver_iterations in the C engine).
+  # Batches under 1024 envs always run to full convergence.
+  B = x.shape[0]
+  tail_thresh = B // 1024
+
   def cond_fn(carry):
     x, cost, it, done = carry
-    return jnp.any(~done) & (it < m.opt.solver_iterations)
+    return (jnp.sum(~done) > tail_thresh) & (
+        it < m.opt.solver_iterations)
 
   def body_fn(carry):
     x, cost, it, done = carry
@@ -657,7 +923,6 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
     cost = jnp.where(improved, cost_new, cost)
     return (x, cost, it + 1, done)
 
-  B = x.shape[0]
   x, _, niter, _ = jax.lax.while_loop(
       cond_fn, body_fn,
       (x, cost_of(x), jnp.zeros((), jnp.int32),
@@ -666,8 +931,11 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
   jar = jmul(x) - aref
   force = row_force(jar)
   qfrc_constraint = jtmul(force)
+  if compact:
+    # scatter the compacted forces back to the full row layout
+    force = jnp.einsum('bke,bk->be', onehot, force)
   efc_force = jnp.zeros((B, m.nefc_max), dtype=dtype)
-  efc_force = efc_force.at[:, :nefc].set(force)
+  efc_force = efc_force.at[:, :nefc_full].set(force)
 
   def _finish(d, f):
     confrc = _contact_forces(m, d, f, dtype)
@@ -699,6 +967,19 @@ def _contact_forces(m: Model, d: Data, force: jax.Array, dtype):
       fn = force[idx:idx + k]
       confrc = confrc.at[slots, 0].set(fn)
       idx += k
+    elif int(m.opt.cone) == int(constants.ConeType.ELLIPTIC):
+      grp = force[idx:idx + k * c].reshape(k, c)
+      # friction rows were assembled in mu-circularized coordinates
+      # (J_i scaled by mu/mu_i); forces on the raw axes scale the same
+      mu = d.contact.friction[slots, 0]
+      fri = d.contact.friction[slots, :c - 1]
+      scale = mu[:, None] / jnp.maximum(fri, 1e-12)
+      ft = grp[:, 1:] * scale
+      confrc = confrc.at[slots, 0].set(grp[:, 0])
+      confrc = confrc.at[slots, 1].set(ft[:, 0])
+      if c >= 3:
+        confrc = confrc.at[slots, 2].set(ft[:, 1])
+      idx += k * c
     else:
       naxes = c - 1
       grp = force[idx:idx + k * naxes * 2].reshape(k, naxes, 2)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dm_control_tpu.models import constants
 from dm_control_tpu.models.types import Data, Model
@@ -67,24 +68,26 @@ def fwd_actuation(m: Model, d: Data) -> Data:
                        m.actuator_ctrlrange[:, 1])
     ctrl = jnp.where(limited, clamped, ctrl)
 
-  # activation dynamics
+  # activation dynamics, vectorized over actuators: stateless (NONE)
+  # actuators pass ctrl straight through; stateful ones read their act
+  # slot. Per-actuator Python loops blow up trace size on big models
+  # (humanoid_CMU: 56 actuators).
   act_dot = jnp.zeros(m.na, dtype=dtype)
-  inputs = []
-  for u in range(m.nu):
-    dt = m.actuator_dyntype[u]
-    if dt == constants.DynType.NONE:
-      inputs.append(ctrl[u])
-    else:
-      adr = m.actuator_actadr[u]
-      a = d.act[adr]
-      if dt == constants.DynType.INTEGRATOR:
-        act_dot = act_dot.at[adr].set(ctrl[u])
-      elif dt in (constants.DynType.FILTER,
-                  constants.DynType.FILTEREXACT):
-        tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
-        act_dot = act_dot.at[adr].set((ctrl[u] - a) / tau)
-      inputs.append(a)
-  input_vec = jnp.stack(inputs)
+  dyntypes = np.array(m.actuator_dyntype)
+  if m.na == 0 and np.all(dyntypes == int(constants.DynType.NONE)):
+    input_vec = ctrl
+  else:
+    stateful = np.where(dyntypes != int(constants.DynType.NONE))[0]
+    adrs = np.array(m.actuator_actadr)[stateful]
+    a_vals = d.act[adrs]
+    u_ctrl = ctrl[stateful]
+    is_int = jnp.asarray(
+        dyntypes[stateful] == int(constants.DynType.INTEGRATOR))
+    tau = jnp.maximum(
+        jnp.asarray(m.actuator_dynprm)[stateful, 0], 1e-8)
+    ad = jnp.where(is_int, u_ctrl, (u_ctrl - a_vals) / tau)
+    act_dot = act_dot.at[adrs].set(ad)
+    input_vec = ctrl.at[stateful].set(a_vals)
 
   # gain / bias
   length = d.actuator_length
@@ -235,14 +238,21 @@ def _check_health(m: Model, d: Data) -> Data:
 
 def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
                   dt) -> jax.Array:
-  """Quaternion-aware position integration (mj_integratePos)."""
+  """Quaternion-aware position integration (mj_integratePos).
+
+  Scalar (hinge/slide) joints and free-joint translations integrate as
+  ONE vectorized scatter each — a 56-dof humanoid_CMU otherwise traces
+  56 sequential dynamic-update ops, which blows up compile time.
+  Quaternion joints (few per model) keep the per-joint exact update.
+  """
   out = qpos
+  qadr_1, vadr_1 = [], []
   for j in range(m.njnt):
     jt = m.jnt_type[j]
     qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
     if jt == _J.FREE:
-      out = out.at[qadr:qadr + 3].set(
-          qpos[qadr:qadr + 3] + dt * qvel[vadr:vadr + 3])
+      qadr_1.extend(range(qadr, qadr + 3))
+      vadr_1.extend(range(vadr, vadr + 3))
       q = mops.quat_integrate(qpos[qadr + 3:qadr + 7],
                               qvel[vadr + 3:vadr + 6], dt)
       out = out.at[qadr + 3:qadr + 7].set(q)
@@ -251,7 +261,12 @@ def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
                               qvel[vadr:vadr + 3], dt)
       out = out.at[qadr:qadr + 4].set(q)
     else:
-      out = out.at[qadr].set(qpos[qadr] + dt * qvel[vadr])
+      qadr_1.append(qadr)
+      vadr_1.append(vadr)
+  if qadr_1:
+    qi = np.asarray(qadr_1)
+    vi = np.asarray(vadr_1)
+    out = out.at[qi].set(qpos[qi] + dt * qvel[vi])
   return out
 
 
@@ -266,29 +281,23 @@ def _advance(m: Model, d: Data, qacc: jax.Array,
     # FILTEREXACT uses the exact exponential discretization
     # act += act_dot * tau * (1 - exp(-dt/tau)) instead of Euler
     # (oracle mj_advance / mj_nextActivation, engine_forward.c)
-    h_eff = []
-    for u in range(m.nu):
-      for _ in range(int(m.actuator_actnum[u])):
-        if m.actuator_dyntype[u] == constants.DynType.FILTEREXACT:
-          tau = jnp.maximum(m.actuator_dynprm[u, 0],
-                            1e-8).astype(d.qpos.dtype)
-          h_eff.append(tau * -jnp.expm1(-dt / tau))
-        else:
-          h_eff.append(dt)
-    act = d.act + jnp.stack(h_eff) * act_dot
+    per_slot_u = np.array([u for u in range(m.nu)
+                           for _ in range(int(m.actuator_actnum[u]))])
+    exact = np.array(m.actuator_dyntype)[per_slot_u] == int(
+        constants.DynType.FILTEREXACT)
+    tau = jnp.maximum(
+        jnp.asarray(m.actuator_dynprm)[per_slot_u, 0],
+        1e-8).astype(d.qpos.dtype)
+    h_eff = jnp.where(jnp.asarray(exact), tau * -jnp.expm1(-dt / tau),
+                      dt)
+    act = d.act + h_eff * act_dot
   if m.na:
-    limited = jnp.array(
-        [m.actuator_actlimited[u] for u in range(m.nu)
-         for _ in range(m.actuator_actnum[u])], dtype=bool)
-    lo = jnp.concatenate(
-        [jnp.repeat(m.actuator_actrange[u:u + 1, 0],
-                    m.actuator_actnum[u]) for u in range(m.nu)]) if any(
-                        m.actuator_actnum) else jnp.zeros(0)
-    hi = jnp.concatenate(
-        [jnp.repeat(m.actuator_actrange[u:u + 1, 1],
-                    m.actuator_actnum[u]) for u in range(m.nu)]) if any(
-                        m.actuator_actnum) else jnp.zeros(0)
-    act = jnp.where(limited, jnp.clip(act, lo, hi), act)
+    per_slot_u = np.array([u for u in range(m.nu)
+                           for _ in range(int(m.actuator_actnum[u]))])
+    limited = jnp.asarray(
+        np.array(m.actuator_actlimited)[per_slot_u].astype(bool))
+    rng = jnp.asarray(m.actuator_actrange)[per_slot_u]
+    act = jnp.where(limited, jnp.clip(act, rng[:, 0], rng[:, 1]), act)
   return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + dt)
 
 

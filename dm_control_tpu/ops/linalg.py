@@ -38,6 +38,8 @@ def cholesky(H: jax.Array) -> jax.Array:
   n = H.shape[-1]
   if n == 0:
     return H
+  if n > _UNROLL_MAX_N:
+    return jnp.linalg.cholesky(H)
   dtype = H.dtype
   cols = []
   eps = jnp.asarray(1e-30, dtype)
@@ -57,6 +59,15 @@ def cholesky(H: jax.Array) -> jax.Array:
   return jnp.stack(cols, axis=-1)
 
 
+# Above this matrix size the unrolled formulation's O(n^2) trace makes
+# XLA optimization time explode (humanoid_CMU, nv=62: tens of minutes
+# of cold compile); the generic lax Cholesky compiles in O(1) and its
+# runtime penalty only affects the per-env (non-batched) path, which
+# big models never use for throughput (they run the batched Pallas
+# solver).
+_UNROLL_MAX_N = 40
+
+
 def chol_inv_t(H: jax.Array) -> jax.Array:
   """Fused factor-and-invert: returns Kt = (L^-1)^T for SPD H.
 
@@ -72,6 +83,11 @@ def chol_inv_t(H: jax.Array) -> jax.Array:
   n = H.shape[-1]
   if n == 0:
     return H
+  if n > _UNROLL_MAX_N:
+    L = jnp.linalg.cholesky(H)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=H.dtype), H.shape)
+    K = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return jnp.swapaxes(K, -1, -2)
   dtype = H.dtype
   eps = jnp.asarray(1e-30, dtype)
   eye = np.eye(n)

@@ -1,0 +1,292 @@
+"""Analytic ray-casting renderer over geom primitives.
+
+Output contracts follow the reference Camera.render
+(reference dm_control/mujoco/engine.py:840-946):
+  * RGB: (height, width, 3) uint8
+  * depth: (height, width) float32, metric distance along the camera's
+    viewing axis (the reference linearizes the GL depth buffer to the
+    same quantity, engine.py:916-924)
+  * segmentation: (height, width, 2) int32 of (object id, object type),
+    -1 where there is no geom (engine.py:925-941)
+
+Design notes (TPU-first): one fused kernel evaluates every pixel ray
+against every geom analytically — no triangles, no scatter, static
+shapes throughout — so XLA tiles it like any other elementwise/reduce
+graph, and a batched `vmap(render)` renders a whole env batch in one
+launch. Camera poses are computed from Model/Data on the fly (the
+engine does not carry camera FK in Data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dm_control_tpu.models import constants
+from dm_control_tpu.models.types import Data, Model
+from dm_control_tpu.ops import math as mops
+
+_G = constants.GeomType
+_BIG = 1e9
+
+# mjtObj object-type code for geoms, matching the oracle's segmentation
+# channel convention (mjOBJ_GEOM = 5)
+_OBJ_GEOM = 5
+
+
+# ---------------------------------------------------------------------------
+# camera pose
+# ---------------------------------------------------------------------------
+
+
+def camera_pose(m: Model, d: Data, camera_id: int):
+  """World (pos, mat) of one camera; mat columns = camera axes
+  (x right, y up, camera looks along -z, MuJoCo convention)."""
+  if camera_id < 0:
+    return _free_camera_pose(m, d)
+  b = m.cam_bodyid[camera_id]
+  mode = m.cam_mode[camera_id]
+  cpos = jnp.asarray(m.cam_pos)[camera_id]
+  cmat = mops.quat_to_mat(jnp.asarray(m.cam_quat)[camera_id])
+  # compiler mode codes: fixed=0, track=1, trackcom=2, targetbody=3
+  if mode == 1:        # track: world-aligned offset, fixed orientation
+    return d.xpos[b] + cpos, cmat
+  if mode == 2:        # trackcom: follows the subtree center of mass
+    return d.subtree_com[b] + cpos, cmat
+  if mode == 3:        # targetbody: aims at the target body's origin
+    pos = d.xpos[b] + d.xmat[b] @ cpos
+    target = d.xpos[m.cam_targetbodyid[camera_id]]
+    return pos, _lookat(pos, target)
+  # fixed: rigidly attached to the owning body
+  return d.xpos[b] + d.xmat[b] @ cpos, d.xmat[b] @ cmat
+
+
+def _lookat(pos, target):
+  """Camera matrix with -z pointing from pos to target."""
+  fwd = target - pos
+  fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-12)
+  up0 = jnp.array([0.0, 0.0, 1.0], dtype=fwd.dtype)
+  right = jnp.cross(fwd, up0)
+  rn = jnp.linalg.norm(right)
+  right = jnp.where(rn > 1e-6, right / jnp.maximum(rn, 1e-12),
+                    jnp.array([1.0, 0.0, 0.0], dtype=fwd.dtype))
+  up = jnp.cross(right, fwd)
+  return jnp.stack([right, up, -fwd], axis=1)
+
+
+def _free_camera_pose(m: Model, d: Data):
+  """Default free camera: look at the model's center from a distance
+  scaled by its extent (the mjv default view analogue)."""
+  center = jnp.mean(d.geom_xpos, axis=0) if m.ngeom else jnp.zeros(3)
+  sizes = np.asarray(m.geom_size)
+  extent = float(np.max(sizes)) * 4.0 + 1.0
+  offset = jnp.array([0.0, -1.2 * extent, 0.8 * extent],
+                     dtype=d.qpos.dtype)
+  pos = center + offset
+  return pos, _lookat(pos, center)
+
+
+# ---------------------------------------------------------------------------
+# analytic ray-primitive intersections (geom-local frame)
+# each returns (t, normal_local); t = _BIG on miss
+# ---------------------------------------------------------------------------
+
+
+def _ray_plane(o, v, size):
+  t = jnp.where(jnp.abs(v[2]) > 1e-12, -o[2] / v[2], _BIG)
+  p = o + t * v
+  half_x = jnp.where(size[0] > 0, size[0], _BIG)
+  half_y = jnp.where(size[1] > 0, size[1], _BIG)
+  ok = (t > 1e-6) & (jnp.abs(p[0]) <= half_x) & (jnp.abs(p[1]) <= half_y)
+  n = jnp.array([0.0, 0.0, 1.0], dtype=o.dtype)
+  return jnp.where(ok, t, _BIG), n
+
+
+def _ray_sphere_at(o, v, center, r):
+  oc = o - center
+  b = jnp.dot(oc, v)
+  c = jnp.dot(oc, oc) - r * r
+  disc = b * b - c
+  sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+  t = -b - sq
+  t = jnp.where((disc >= 0) & (t > 1e-6), t, _BIG)
+  n = (o + t * v) - center
+  return t, n
+
+
+def _ray_sphere(o, v, size):
+  return _ray_sphere_at(o, v, jnp.zeros(3, o.dtype), size[0])
+
+
+def _ray_ellipsoid(o, v, size):
+  s = jnp.maximum(size[:3], 1e-9)
+  os_, vs = o / s, v / s
+  a = jnp.dot(vs, vs)
+  b = jnp.dot(os_, vs)
+  c = jnp.dot(os_, os_) - 1.0
+  disc = b * b - a * c
+  sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+  t = (-b - sq) / jnp.maximum(a, 1e-12)
+  t = jnp.where((disc >= 0) & (t > 1e-6), t, _BIG)
+  n = (o + t * v) / (s * s)
+  return t, n
+
+
+def _ray_infinite_cyl(o, v, r):
+  a = v[0] * v[0] + v[1] * v[1]
+  b = o[0] * v[0] + o[1] * v[1]
+  c = o[0] * o[0] + o[1] * o[1] - r * r
+  disc = b * b - a * c
+  sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+  t = (-b - sq) / jnp.maximum(a, 1e-12)
+  return jnp.where((disc >= 0) & (a > 1e-12) & (t > 1e-6), t, _BIG)
+
+
+def _ray_capsule(o, v, size):
+  r, half = size[0], size[1]
+  t_cyl = _ray_infinite_cyl(o, v, r)
+  z = o[2] + t_cyl * v[2]
+  t_cyl = jnp.where(jnp.abs(z) <= half, t_cyl, _BIG)
+  top = jnp.array([0.0, 0.0, 1.0], dtype=o.dtype) * half
+  t_a, _ = _ray_sphere_at(o, v, top, r)
+  t_b, _ = _ray_sphere_at(o, v, -top, r)
+  t = jnp.minimum(t_cyl, jnp.minimum(t_a, t_b))
+  p = o + t * v
+  axis_z = jnp.clip(p[2], -half, half)
+  n = p - jnp.array([0.0, 0.0, 1.0], dtype=o.dtype) * axis_z
+  return t, n
+
+
+def _ray_cylinder(o, v, size):
+  r, half = size[0], size[1]
+  t_side = _ray_infinite_cyl(o, v, r)
+  z = o[2] + t_side * v[2]
+  t_side = jnp.where(jnp.abs(z) <= half, t_side, _BIG)
+  # caps
+  sgn = jnp.where(v[2] > 0, -1.0, 1.0)
+  t_cap = jnp.where(jnp.abs(v[2]) > 1e-12,
+                    (sgn * half - o[2]) / v[2], _BIG)
+  pc = o + t_cap * v
+  t_cap = jnp.where((t_cap > 1e-6) &
+                    (pc[0] ** 2 + pc[1] ** 2 <= r * r), t_cap, _BIG)
+  t = jnp.minimum(t_side, t_cap)
+  p = o + t * v
+  side = t_side <= t_cap
+  n = jnp.where(side,
+                jnp.array([1.0, 1.0, 0.0], dtype=o.dtype) * p,
+                jnp.array([0.0, 0.0, 1.0], dtype=o.dtype) * sgn)
+  return t, n
+
+
+def _ray_box(o, v, size):
+  s = size[:3]
+  inv = 1.0 / jnp.where(jnp.abs(v) > 1e-12, v, 1e-12)
+  t1 = (-s - o) * inv
+  t2 = (s - o) * inv
+  tmin = jnp.max(jnp.minimum(t1, t2))
+  tmax = jnp.min(jnp.maximum(t1, t2))
+  hit = (tmax >= tmin) & (tmax > 1e-6)
+  t = jnp.where(tmin > 1e-6, tmin, _BIG)
+  t = jnp.where(hit, t, _BIG)
+  p = o + t * v
+  q = p / jnp.maximum(s, 1e-12)
+  axis = jnp.argmax(jnp.abs(q))
+  n = jnp.zeros(3, o.dtype).at[axis].set(jnp.sign(q[axis]))
+  return t, n
+
+
+_RAY_FUNCS = {
+    int(_G.PLANE): _ray_plane,
+    int(_G.SPHERE): _ray_sphere,
+    int(_G.CAPSULE): _ray_capsule,
+    int(_G.ELLIPSOID): _ray_ellipsoid,
+    int(_G.CYLINDER): _ray_cylinder,
+    int(_G.BOX): _ray_box,
+}
+
+
+# ---------------------------------------------------------------------------
+# renderer
+# ---------------------------------------------------------------------------
+
+
+def render(m: Model, d: Data, height: int = 240, width: int = 320,
+           camera_id: int = -1, depth: bool = False,
+           segmentation: bool = False):
+  """Render one frame. See module docstring for output contracts."""
+  dtype = d.qpos.dtype
+  cam_pos, cam_mat = camera_pose(m, d, camera_id)
+  fovy = (float(np.asarray(m.cam_fovy)[camera_id])
+          if camera_id >= 0 else 45.0)
+
+  # pixel rays (camera looks along -z; y up; x right)
+  tan_half = np.tan(np.deg2rad(fovy) / 2.0)
+  aspect = width / height
+  ys = jnp.linspace(tan_half, -tan_half, height, dtype=dtype)
+  xs = jnp.linspace(-tan_half * aspect, tan_half * aspect, width,
+                    dtype=dtype)
+  px, py = jnp.meshgrid(xs, ys)
+  dirs = jnp.stack([px, py, -jnp.ones_like(px)], axis=-1)
+  dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+  dirs = dirs @ cam_mat.T                      # (h, w, 3) world
+
+  best_t = jnp.full((height, width), _BIG, dtype=dtype)
+  best_n = jnp.zeros((height, width, 3), dtype=dtype)
+  best_g = jnp.full((height, width), -1, dtype=jnp.int32)
+
+  # group geoms by type; evaluate each group as one vmapped kernel
+  groups = {}
+  for g in range(m.ngeom):
+    t = int(m.geom_type[g])
+    if t in _RAY_FUNCS and np.asarray(m.geom_rgba)[g, 3] > 0:
+      groups.setdefault(t, []).append(g)
+
+  gsize = jnp.asarray(m.geom_size, dtype)
+  for t, gids in groups.items():
+    fn = _RAY_FUNCS[t]
+    gid = jnp.asarray(np.array(gids, dtype=np.int32))
+    gpos = d.geom_xpos[gid]                     # (G, 3)
+    gmat = d.geom_xmat[gid]                     # (G, 3, 3)
+    gsz = gsize[gid]
+
+    def per_geom(gp, gm, gs):
+      # transform all rays into the geom frame
+      o = (cam_pos - gp) @ gm                   # (3,)
+      vloc = dirs @ gm                          # (h, w, 3)
+      tt, nn = jax.vmap(jax.vmap(lambda v: fn(o, v, gs)))(vloc)
+      return tt, nn @ gm.T                      # world normals
+
+    ts, ns = jax.vmap(per_geom)(gpos, gmat, gsz)   # (G, h, w[,3])
+    gbest = jnp.argmin(ts, axis=0)                  # (h, w)
+    tbest = jnp.min(ts, axis=0)
+    nbest = jnp.take_along_axis(
+        ns, gbest[None, :, :, None], axis=0)[0]
+    better = tbest < best_t
+    best_t = jnp.where(better, tbest, best_t)
+    best_n = jnp.where(better[..., None], nbest, best_n)
+    best_g = jnp.where(better, gid[gbest], best_g)
+
+  hit = best_t < _BIG
+
+  if segmentation:
+    seg_id = jnp.where(hit, best_g, -1)
+    seg_type = jnp.where(hit, _OBJ_GEOM, -1)
+    return jnp.stack([seg_id, seg_type], axis=-1).astype(jnp.int32)
+
+  if depth:
+    fwd = -cam_mat[:, 2]
+    zdist = best_t * (dirs @ fwd)
+    return jnp.where(hit, zdist, 0.0).astype(jnp.float32)
+
+  # shading: headlight diffuse + ambient, geom rgba albedo
+  n = best_n / jnp.maximum(
+      jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-12)
+  lambert = jnp.abs(jnp.sum(n * -dirs, axis=-1))
+  shade = 0.3 + 0.7 * lambert
+  rgba = jnp.asarray(m.geom_rgba, dtype)
+  albedo = rgba[jnp.clip(best_g, 0, max(m.ngeom - 1, 0))][..., :3]
+  sky = jnp.array([0.3, 0.45, 0.7], dtype=dtype)
+  rgb = jnp.where(hit[..., None], albedo * shade[..., None], sky)
+  return (jnp.clip(rgb, 0.0, 1.0) * 255).astype(jnp.uint8)

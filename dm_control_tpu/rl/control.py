@@ -221,6 +221,21 @@ class Environment(dm_env.Environment):
     return dm_env.TimeStep(dm_env.StepType.MID, reward, 1.0, obs)
 
   # ------------------------------------------------------------------
+  def render(self, height: int = 240, width: int = 320, camera_id=-1,
+             depth: bool = False, segmentation: bool = False,
+             **unused_kwargs):
+    """Render the current state via the on-device ray-caster
+    (replaces the reference's physics.render pixel path)."""
+    from dm_control_tpu.render import rasterizer
+    if isinstance(camera_id, str):
+      camera_id = self._model.names.name2id('camera', camera_id)
+    if self._data is None:
+      self.reset()
+    return np.asarray(rasterizer.render(
+        self._model_current, self._data, height=height, width=width,
+        camera_id=camera_id, depth=depth, segmentation=segmentation))
+
+  # ------------------------------------------------------------------
   def action_spec(self) -> specs.BoundedArray:
     return self._task.action_spec(self._model)
 

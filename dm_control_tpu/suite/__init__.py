@@ -24,10 +24,13 @@ _DOMAIN_NAMES = [
     'hopper',
     'lqr',
     'humanoid',
+    'humanoid_CMU',
+    'manipulator',
     'pendulum',
     'point_mass',
     'quadruped',
     'reacher',
+    'stacker',
     'swimmer',
     'walker',
 ]

@@ -9,6 +9,7 @@ import numpy as np
 from dm_control_tpu import models
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 from dm_control_tpu.utils import rewards
 
@@ -17,42 +18,12 @@ SUITE = containers.TaggedTasks()
 
 
 def make_model() -> str:
-  """Underactuated double pendulum; only the elbow is driven."""
-  return """
-<mujoco model="acrobot">
-  <option timestep="0.01" integrator="RK4">
-    <flag constraint="disable" energy="enable"/>
-  </option>
-  <default>
-    <joint damping=".05"/>
-    <geom type="capsule" mass="1"/>
-  </default>
-  <worldbody>
-    <geom name="floor" size="3 3 .2" type="plane"/>
-    <site name="target" type="sphere" pos="0 0 4" size="0.2" group="3"/>
-    <camera name="fixed" pos="0 -6 2" zaxis="0 -1 0"/>
-    <body name="upper_arm" pos="0 0 2">
-      <joint name="shoulder" type="hinge" axis="0 1 0"/>
-      <geom name="upper_arm_decoration" type="cylinder"
-            fromto="0 -.06 0 0 .06 0" size="0.051" mass="0"/>
-      <geom name="upper_arm" fromto="0 0 0 0 0 1" size="0.05"/>
-      <body name="lower_arm" pos="0 0 1">
-        <joint name="elbow" type="hinge" axis="0 1 0"/>
-        <geom name="lower_arm" fromto="0 0 0 0 0 1" size="0.049"/>
-        <site name="tip" pos="0 0 1" size="0.01"/>
-      </body>
-    </body>
-  </worldbody>
-  <actuator>
-    <motor name="elbow" joint="elbow" gear="2" ctrllimited="true"
-           ctrlrange="-1 1"/>
-  </actuator>
-</mujoco>
-"""
+  """Reference model asset, verbatim (suite/assets/acrobot.xml)."""
+  return common.read_model('acrobot.xml')
 
 
 def _make_env(sparse, time_limit, random, environment_kwargs):
-  model = models.from_xml_string(make_model())
+  model = models.from_xml_string(make_model(), assets=common.ASSETS)
   task = Balance(model, sparse=sparse)
   environment_kwargs = environment_kwargs or {}
   return control.Environment(model, task, time_limit=time_limit,

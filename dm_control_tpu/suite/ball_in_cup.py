@@ -11,6 +11,7 @@ from dm_control_tpu.ops import collision as coll_ops
 from dm_control_tpu.ops import smooth
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 
 _DEFAULT_TIME_LIMIT = 20
@@ -19,56 +20,15 @@ SUITE = containers.TaggedTasks()
 
 
 def make_model() -> str:
-  """Actuated planar cup with a ball on a string (spatial tendon)."""
-  return """
-<mujoco model="ball in cup">
-  <default>
-    <motor ctrllimited="true" ctrlrange="-1 1" gear="5"/>
-    <default class="cup">
-      <joint type="slide" damping="3" stiffness="20"/>
-      <geom type="capsule" size=".008"/>
-    </default>
-  </default>
-  <worldbody>
-    <geom name="ground" type="plane" pos="0 0 0" size=".6 .2 10"/>
-    <body name="cup" pos="0 0 .6" childclass="cup">
-      <joint name="cup_x" axis="1 0 0"/>
-      <joint name="cup_z" axis="0 0 1"/>
-      <geom name="cup_part_0" fromto="-.05 0 0 -.05 0 -.075"/>
-      <geom name="cup_part_1" fromto="-.05 0 -.075 -.025 0 -.1"/>
-      <geom name="cup_part_2" fromto="-.025 0 -.1 .025 0 -.1"/>
-      <geom name="cup_part_3" fromto=".025 0 -.1 .05 0 -.075"/>
-      <geom name="cup_part_4" fromto=".05 0 -.075 .05 0 0"/>
-      <site name="cup" pos="0 0 -.108" size=".005"/>
-      <site name="target" type="box" pos="0 0 -.05" size=".05 .006 .05"
-            group="4"/>
-    </body>
-    <body name="ball" pos="0 0 .2">
-      <joint name="ball_x" type="slide" axis="1 0 0"/>
-      <joint name="ball_z" type="slide" axis="0 0 1"/>
-      <geom name="ball" type="sphere" size=".025"/>
-      <site name="ball" size=".005"/>
-    </body>
-  </worldbody>
-  <actuator>
-    <motor name="x" joint="cup_x"/>
-    <motor name="z" joint="cup_z"/>
-  </actuator>
-  <tendon>
-    <spatial name="string" limited="true" range="0 0.3" width="0.003">
-      <site site="ball"/>
-      <site site="cup"/>
-    </spatial>
-  </tendon>
-</mujoco>
-"""
+  """Reference model asset, verbatim (suite/assets/ball_in_cup.xml)."""
+  return common.read_model('ball_in_cup.xml')
 
 
 @SUITE.add('benchmarking', 'easy')
 def catch(time_limit=_DEFAULT_TIME_LIMIT, random=None,
           environment_kwargs=None):
   """Returns the Ball-in-Cup task."""
-  model = models.from_xml_string(make_model())
+  model = models.from_xml_string(make_model(), assets=common.ASSETS)
   task = BallInCup(model)
   environment_kwargs = environment_kwargs or {}
   return control.Environment(

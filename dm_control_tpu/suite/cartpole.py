@@ -1,6 +1,7 @@
 """Cartpole domain (behavioural parity: reference suite/cartpole.py)."""
 
 import collections
+from xml.etree import ElementTree as etree
 
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,7 @@ import numpy as np
 from dm_control_tpu import models
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 from dm_control_tpu.utils import rewards
 
@@ -17,55 +19,33 @@ SUITE = containers.TaggedTasks()
 
 
 def make_model(n_poles: int = 1) -> str:
-  """Cart on a rail with n serially-hinged poles."""
-  pole = """
-      <body name="pole_{i}" childclass="pole">
-        <joint name="hinge_{i}"/>
-        <geom name="pole_{i}"/>
-        {child}
-      </body>"""
-  chain = ''
-  for i in range(n_poles, 0, -1):
-    chain = pole.format(i=i, child=chain)
-  floor_z = 1 - n_poles - .05
-  return f"""
-<mujoco model="cart-pole">
-  <option timestep="0.01" integrator="RK4">
-    <flag contact="disable" energy="enable"/>
-  </option>
-  <default>
-    <default class="pole">
-      <joint type="hinge" axis="0 1 0" damping="2e-6"/>
-      <geom type="capsule" fromto="0 0 0 0 0 1" size="0.045"
-            mass=".1" rgba=".7 .5 .3 1"/>
-    </default>
-  </default>
-  <worldbody>
-    <camera name="fixed" pos="0 {-1 - 2 * n_poles} 1" zaxis="0 -1 0"/>
-    <geom name="floor" pos="0 0 {floor_z}" size="4 4 .2" type="plane"/>
-    <geom name="rail1" type="capsule" pos="0 .07 1" zaxis="1 0 0"
-          size="0.02 2"/>
-    <geom name="rail2" type="capsule" pos="0 -.07 1" zaxis="1 0 0"
-          size="0.02 2"/>
-    <body name="cart" pos="0 0 1">
-      <joint name="slider" type="slide" limited="true" axis="1 0 0"
-             range="-1.8 1.8" solreflimit=".08 1" damping="5e-4"/>
-      <geom name="cart" type="box" size="0.2 0.15 0.1" mass="1"
-            rgba=".7 .5 .3 1"/>
-      {chain}
-    </body>
-  </worldbody>
-  <actuator>
-    <motor name="slide" joint="slider" gear="10" ctrllimited="true"
-           ctrlrange="-1 1"/>
-  </actuator>
-</mujoco>
-"""
+  """Reference cartpole.xml, with extra poles chained procedurally
+  (reference suite/cartpole.py:105-128 `_make_model`)."""
+  xml_string = common.read_model('cartpole.xml')
+  if n_poles == 1:
+    return xml_string
+  mjcf = etree.fromstring(xml_string)
+  parent = mjcf.find('./worldbody/body/body')   # first pole
+  for pole_index in range(2, n_poles + 1):
+    child = etree.Element('body', name=f'pole_{pole_index}',
+                          pos='0 0 1', childclass='pole')
+    etree.SubElement(child, 'joint', name=f'hinge_{pole_index}')
+    etree.SubElement(child, 'geom', name=f'pole_{pole_index}')
+    parent.append(child)
+    parent = child
+  # lower the floor and pull the cameras back to fit the longer pole
+  floor = mjcf.find('./worldbody/geom')
+  floor.set('pos', '0 0 {}'.format(1 - n_poles - .05))
+  cameras = mjcf.findall('./worldbody/camera')
+  cameras[0].set('pos', '0 {} 1'.format(-1 - 2 * n_poles))
+  cameras[1].set('pos', '0 {} 2'.format(-2 * n_poles))
+  return etree.tostring(mjcf, encoding='unicode')
+
 
 
 def _make_env(swing_up, sparse, n_poles=1, time_limit=_DEFAULT_TIME_LIMIT,
               random=None, environment_kwargs=None):
-  model = models.from_xml_string(make_model(n_poles))
+  model = models.from_xml_string(make_model(n_poles), assets=common.ASSETS)
   task = Balance(model, swing_up=swing_up, sparse=sparse)
   environment_kwargs = environment_kwargs or {}
   return control.Environment(model, task, time_limit=time_limit,

@@ -16,6 +16,7 @@ from dm_control_tpu.ops import collision as coll_ops
 from dm_control_tpu.ops import smooth
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 
 _DEFAULT_TIME_LIMIT = 20
@@ -29,77 +30,15 @@ SUITE = containers.TaggedTasks()
 
 
 def make_model() -> str:
-  """Planar 2-dof finger next to a free-spinning two-cap body."""
-  return """
-<mujoco model="finger">
-  <option timestep="0.01" cone="elliptic" iterations="200">
-    <flag gravity="disable"/>
-  </option>
-  <default>
-    <geom solimp="0 0.9 0.01" solref=".02 1"/>
-    <joint type="hinge" axis="0 -1 0"/>
-    <motor ctrllimited="true" ctrlrange="-1 1"/>
-    <default class="finger">
-      <joint damping="2.5" limited="true"/>
-      <site type="ellipsoid" size=".025 .03 .025" group="3"/>
-    </default>
-  </default>
-  <worldbody>
-    <geom name="ground" type="plane" pos="0 0 0" size=".6 .2 10"/>
-    <body name="proximal" pos="-.2 0 .4" childclass="finger">
-      <geom name="proximal_decoration" type="cylinder"
-            fromto="0 -.033 0 0 .033 0" size=".034"/>
-      <joint name="proximal" range="-110 110" ref="-90"/>
-      <geom name="proximal" type="capsule" size=".03"
-            fromto="0 0 0 0 0 -.17"/>
-      <body name="distal" pos="0 0 -.18" childclass="finger">
-        <joint name="distal" range="-110 110"/>
-        <geom name="distal" type="capsule" size=".028"
-              fromto="0 0 0 0 0 -.16" contype="0" conaffinity="0"/>
-        <geom name="fingertip" type="capsule" size=".03"
-              fromto="0 0 -.13 0 0 -.161"/>
-        <site name="touchtop" pos=".01 0 -.17"/>
-        <site name="touchbottom" pos="-.01 0 -.17"/>
-      </body>
-    </body>
-    <body name="spinner" pos=".2 0 .4">
-      <joint name="hinge" frictionloss=".1" damping=".5"/>
-      <geom name="cap1" type="capsule" size=".04 .09" pos=".02 0 0"/>
-      <geom name="cap2" type="capsule" size=".04 .09" pos="-.02 0 0"/>
-      <site name="tip" type="sphere" size=".02" pos="0 0 .13"/>
-      <geom name="spinner_decoration" type="cylinder"
-            fromto="0 -.045 0 0 .045 0" size=".02"/>
-    </body>
-    <site name="target" type="sphere" size=".03" pos="0 0 .4"/>
-  </worldbody>
-  <actuator>
-    <motor name="proximal" joint="proximal" gear="30"/>
-    <motor name="distal" joint="distal" gear="15"/>
-  </actuator>
-  <sensor>
-    <jointpos name="proximal" joint="proximal"/>
-    <jointpos name="distal" joint="distal"/>
-    <jointvel name="proximal_velocity" joint="proximal"/>
-    <jointvel name="distal_velocity" joint="distal"/>
-    <jointvel name="hinge_velocity" joint="hinge"/>
-    <framepos name="tip" objtype="site" objname="tip"/>
-    <framepos name="target" objtype="site" objname="target"/>
-    <framepos name="spinner" objtype="xbody" objname="spinner"/>
-    <touch name="touchtop" site="touchtop"/>
-    <touch name="touchbottom" site="touchbottom"/>
-    <framepos name="touchtop_pos" objtype="site" objname="touchtop"/>
-    <framepos name="touchbottom_pos" objtype="site"
-              objname="touchbottom"/>
-  </sensor>
-</mujoco>
-"""
+  """Reference model asset, verbatim (suite/assets/finger.xml)."""
+  return common.read_model('finger.xml')
 
 
 @SUITE.add('benchmarking')
 def spin(time_limit=_DEFAULT_TIME_LIMIT, random=None,
          environment_kwargs=None):
   """Returns the Spin task."""
-  model = models.from_xml_string(make_model())
+  model = models.from_xml_string(make_model(), assets=common.ASSETS)
   # spin variant reduces the hinge damping (reference finger.py:142)
   hinge_dof = model.jnt_dofadr[model.names.name2id('joint', 'hinge')]
   damping = np.array(model.dof_damping)
@@ -130,7 +69,7 @@ def turn_hard(time_limit=_DEFAULT_TIME_LIMIT, random=None,
 
 
 def _turn(target_radius, time_limit, random, environment_kwargs):
-  model = models.from_xml_string(make_model())
+  model = models.from_xml_string(make_model(), assets=common.ASSETS)
   sid = model.names.name2id('site', 'target')
   size = np.array(model.site_size)
   size[sid, 0] = target_radius

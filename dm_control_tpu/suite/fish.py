@@ -9,6 +9,7 @@ import numpy as np
 from dm_control_tpu import models
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 from dm_control_tpu.utils import rewards
 
@@ -20,92 +21,12 @@ SUITE = containers.TaggedTasks()
 
 
 def make_model() -> str:
-  """Neutrally buoyant fish; swims via fluid drag (density 5000)."""
-  return """
-<mujoco model="fish">
-  <option timestep="0.004" density="5000">
-    <flag gravity="disable" constraint="disable"/>
-  </option>
-  <default>
-    <general ctrllimited="true"/>
-    <default class="fish">
-      <joint type="hinge" limited="false" range="-60 60" damping="2e-5"
-             solreflimit=".1 1" solimplimit="0 .8 .1"/>
-    </default>
-  </default>
-  <worldbody>
-    <geom name="ground" type="plane" size=".5 .5 .1"/>
-    <geom name="target" type="sphere" pos="0 .4 .1" size=".04"/>
-    <body name="torso" pos="0 0 .1" childclass="fish">
-      <joint name="root" type="free" damping="0" limited="false"/>
-      <site name="torso" size=".01"/>
-      <geom name="eye" type="ellipsoid" pos="0 .055 .015"
-            size=".008 .012 .008" euler="-10 0 0" mass="0"/>
-      <geom name="mouth" type="capsule" fromto="0 .079 0 0 .07 0"
-            size=".005" mass="0"/>
-      <geom name="lower_mouth" type="capsule"
-            fromto="0 .079 -.004 0 .07 -.003" size=".0045" mass="0"/>
-      <geom name="torso" type="ellipsoid" size=".01 .08 .04" mass="0"/>
-      <geom name="back_fin" type="ellipsoid" size=".001 .03 .015"
-            pos="0 -.03 .03" mass="0"/>
-      <geom name="torso_massive" type="box" size=".002 .06 .03"
-            group="4"/>
-      <body name="tail1" pos="0 -.09 0">
-        <joint name="tail1" axis="0 0 1" pos="0 .01 0"/>
-        <joint name="tail_twist" axis="0 1 0" pos="0 .01 0"
-               range="-30 30"/>
-        <geom name="tail1" type="ellipsoid" size=".001 .008 .016"/>
-        <body name="tail2" pos="0 -.028 0">
-          <joint name="tail2" axis="0 0 1" pos="0 .02 0"
-                 stiffness="8e-5"/>
-          <geom name="tail2" type="ellipsoid" size=".001 .018 .035"/>
-        </body>
-      </body>
-      <body name="finright" pos=".01 0 0">
-        <joint name="finright_roll" axis="0 1 0"/>
-        <joint name="finright_pitch" axis="1 0 0" pos="0 .005 0"/>
-        <geom name="finright" type="ellipsoid" pos=".015 0 0"
-              size=".02 .015 .001"/>
-      </body>
-      <body name="finleft" pos="-.01 0 0">
-        <joint name="finleft_roll" axis="0 1 0"/>
-        <joint name="finleft_pitch" axis="1 0 0" pos="0 .005 0"/>
-        <geom name="finleft" type="ellipsoid" pos="-.015 0 0"
-              size=".02 .015 .001"/>
-      </body>
-    </body>
-  </worldbody>
-  <tendon>
-    <fixed name="fins_flap">
-      <joint joint="finleft_roll" coef="-.5"/>
-      <joint joint="finright_roll" coef=".5"/>
-    </fixed>
-    <fixed name="fins_sym" stiffness="1e-4">
-      <joint joint="finleft_roll" coef=".5"/>
-      <joint joint="finright_roll" coef=".5"/>
-    </fixed>
-  </tendon>
-  <actuator>
-    <position name="tail" joint="tail1" ctrlrange="-1 1" kp="5e-4"/>
-    <position name="tail_twist" joint="tail_twist" ctrlrange="-1 1"
-              kp="1e-4"/>
-    <position name="fins_flap" tendon="fins_flap" ctrlrange="-1 1"
-              kp="3e-4"/>
-    <position name="finleft_pitch" joint="finleft_pitch"
-              ctrlrange="-1 1" kp="1e-4"/>
-    <position name="finright_pitch" joint="finright_pitch"
-              ctrlrange="-1 1" kp="1e-4"/>
-  </actuator>
-  <sensor>
-    <velocimeter name="velocimeter" site="torso"/>
-    <gyro name="gyro" site="torso"/>
-  </sensor>
-</mujoco>
-"""
+  """Reference model asset, verbatim (suite/assets/fish.xml)."""
+  return common.read_model('fish.xml')
 
 
 def _make_env(task_cls, time_limit, random, environment_kwargs):
-  model = models.from_xml_string(make_model())
+  model = models.from_xml_string(make_model(), assets=common.ASSETS)
   task = task_cls(model)
   environment_kwargs = environment_kwargs or {}
   return control.Environment(

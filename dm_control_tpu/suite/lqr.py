@@ -6,6 +6,7 @@ this domain an analytic end-to-end correctness test for the engine.
 """
 
 import collections
+from xml.etree import ElementTree as etree
 
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,7 @@ import numpy as np
 from dm_control_tpu import models
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 
 _DEFAULT_TIME_LIMIT = float('inf')
@@ -24,57 +26,49 @@ SUITE = containers.TaggedTasks()
 def make_model(n_bodies: int, n_actuators: int,
                rng: np.random.RandomState,
                stiffness_range=(15, 25), damping_range=(0, 0)) -> str:
-  """Chain of sphere masses on y-sliders with random joint springs."""
+  """Reference lqr.xml with the mass-spring chain added procedurally
+  (reference suite/lqr.py:110-201 `_make_body`/`_make_model`)."""
   if n_bodies < 1 or n_actuators < 1:
     raise ValueError('at least 1 body and 1 actuator required')
   if n_actuators > n_bodies:
     raise ValueError('at most 1 actuator per body')
 
-  body_xml = ''
-  indent = '    '
-  for i in range(n_bodies):
-    k = rng.uniform(*stiffness_range)
-    c = rng.uniform(*damping_range)
-    pos = '.25 0 .1' if i == 0 else '.25 0 0'
-    body_xml += (f'\n{indent}<body name="body_{i}" pos="{pos}">'
-                 f'\n{indent}  <joint name="joint_{i}" stiffness="{k}"'
-                 f' damping="{c}"/>'
-                 f'\n{indent}  <geom name="geom_{i}"/>'
-                 f'\n{indent}  <site name="site_{i}"/>')
-    indent += '  '
-  for i in range(n_bodies):
-    indent = indent[:-2]
-    body_xml += f'\n{indent}</body>'
+  mjcf = etree.fromstring(common.read_model('lqr.xml'))
+  parent = mjcf.find('./worldbody')
+  actuator = etree.SubElement(mjcf, 'actuator')
+  tendon = etree.SubElement(mjcf, 'tendon')
 
-  actuators = '\n'.join(
-      f'    <motor name="motor_{i}" joint="joint_{i}"/>'
-      for i in range(n_actuators))
+  for body in range(n_bodies):
+    child = etree.Element('body', name=f'body_{body}', pos='.25 0 0')
+    joint = etree.SubElement(child, 'joint', name=f'joint_{body}')
+    child.append(etree.Element('geom', name=f'geom_{body}'))
+    joint.set('stiffness', str(rng.uniform(*stiffness_range)))
+    joint.set('damping', str(rng.uniform(*damping_range)))
+    site_name = f'site_{body}'
+    child.append(etree.Element('site', name=site_name))
+    if body == 0:
+      child.set('pos', '.25 0 .1')
+    if body < n_actuators:
+      actuator.append(etree.Element('motor', name=f'motor_{body}',
+                                    joint=f'joint_{body}'))
+    if body < n_bodies - 1:
+      # visualization-only tendon between consecutive bodies
+      spatial = etree.SubElement(tendon, 'spatial',
+                                 name=f'tendon_{body}')
+      spatial.append(etree.Element('site', site=site_name))
+      spatial.append(etree.Element('site', site=f'site_{body + 1}'))
+    parent.append(child)
+    parent = child
 
-  return f"""
-<mujoco model="LQR">
-  <option timestep=".03">
-    <flag constraint="disable"/>
-  </option>
-  <default>
-    <joint type="slide" axis="0 1 0"/>
-    <geom type="sphere" size=".1"/>
-    <site size=".01"/>
-  </default>
-  <worldbody>
-    <geom name="floor" size="4 1 .2" type="plane"/>{body_xml}
-  </worldbody>
-  <actuator>
-{actuators}
-  </actuator>
-</mujoco>
-"""
+  return etree.tostring(mjcf, encoding='unicode')
 
 
 def _make_lqr(n_bodies, n_actuators, control_cost_coef, time_limit,
               random, environment_kwargs):
   rng = (random if isinstance(random, np.random.RandomState)
          else np.random.RandomState(random))
-  model = models.from_xml_string(make_model(n_bodies, n_actuators, rng))
+  model = models.from_xml_string(make_model(n_bodies, n_actuators, rng),
+                                 assets=common.ASSETS)
   task = LQRLevel(model, control_cost_coef)
   environment_kwargs = environment_kwargs or {}
   seed = int(rng.randint(2 ** 31 - 1))

@@ -9,6 +9,7 @@ import numpy as np
 from dm_control_tpu import models
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 from dm_control_tpu.utils import rewards
 
@@ -19,38 +20,15 @@ SUITE = containers.TaggedTasks()
 
 
 def make_model() -> str:
-  """Inverted pendulum: single torque-limited hinge, swing-up regime."""
-  return """
-<mujoco model="pendulum">
-  <option timestep="0.02">
-    <flag contact="disable" energy="enable"/>
-  </option>
-  <worldbody>
-    <geom name="floor" type="plane" size="2 2 .2" rgba=".3 .4 .5 1"/>
-    <camera name="fixed" pos="0 -1.5 2" xyaxes="1 0 0 0 1 1"/>
-    <body name="pole" pos="0 0 0.6">
-      <joint name="hinge" type="hinge" axis="0 1 0" damping="0.1"/>
-      <geom name="base" type="cylinder" fromto="0 -.03 0 0 .03 0"
-            size="0.021" mass="0" rgba=".3 .5 .7 1"/>
-      <geom name="pole" type="capsule" fromto="0 0 0 0 0 0.5"
-            size="0.02" mass="0" rgba=".7 .5 .3 1"/>
-      <geom name="mass" type="sphere" pos="0 0 0.5" size="0.05"
-            mass="1" rgba=".7 .4 .2 1"/>
-    </body>
-  </worldbody>
-  <actuator>
-    <motor name="torque" joint="hinge" gear="1" ctrllimited="true"
-           ctrlrange="-1 1"/>
-  </actuator>
-</mujoco>
-"""
+  """Reference model asset, verbatim (suite/assets/pendulum.xml)."""
+  return common.read_model('pendulum.xml')
 
 
 @SUITE.add('benchmarking')
 def swingup(time_limit=_DEFAULT_TIME_LIMIT, random=None,
             environment_kwargs=None):
   """Returns pendulum swingup task."""
-  model = models.from_xml_string(make_model())
+  model = models.from_xml_string(make_model(), assets=common.ASSETS)
   task = SwingUp(model)
   environment_kwargs = environment_kwargs or {}
   return control.Environment(model, task, time_limit=time_limit,

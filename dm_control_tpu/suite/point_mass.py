@@ -9,6 +9,7 @@ import numpy as np
 from dm_control_tpu import models
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 from dm_control_tpu.utils import rewards
 
@@ -17,50 +18,15 @@ SUITE = containers.TaggedTasks()
 
 
 def make_model() -> str:
-  """Planar point mass driven through two fixed tendons."""
-  return """
-<mujoco model="planar point mass">
-  <option timestep="0.02">
-    <flag contact="disable"/>
-  </option>
-  <default>
-    <joint type="hinge" axis="0 0 1" limited="true" range="-.29 .29"
-           damping="1"/>
-    <motor gear=".1" ctrlrange="-1 1" ctrllimited="true"/>
-  </default>
-  <worldbody>
-    <camera name="fixed" pos="0 0 .75" quat="1 0 0 0"/>
-    <geom name="ground" type="plane" pos="0 0 0" size=".3 .3 .1"/>
-    <body name="pointmass" pos="0 0 .01">
-      <joint name="root_x" type="slide" pos="0 0 0" axis="1 0 0"/>
-      <joint name="root_y" type="slide" pos="0 0 0" axis="0 1 0"/>
-      <geom name="pointmass" type="sphere" size=".01" mass=".3"/>
-    </body>
-    <geom name="target" pos="0 0 .01" type="sphere" size=".015"/>
-  </worldbody>
-  <tendon>
-    <fixed name="t1">
-      <joint joint="root_x" coef="1"/>
-      <joint joint="root_y" coef="0"/>
-    </fixed>
-    <fixed name="t2">
-      <joint joint="root_x" coef="0"/>
-      <joint joint="root_y" coef="1"/>
-    </fixed>
-  </tendon>
-  <actuator>
-    <motor name="t1" tendon="t1"/>
-    <motor name="t2" tendon="t2"/>
-  </actuator>
-</mujoco>
-"""
+  """Reference model asset, verbatim (suite/assets/point_mass.xml)."""
+  return common.read_model('point_mass.xml')
 
 
 @SUITE.add('benchmarking', 'easy')
 def easy(time_limit=_DEFAULT_TIME_LIMIT, random=None,
          environment_kwargs=None):
   """Returns the easy point_mass task."""
-  model = models.from_xml_string(make_model())
+  model = models.from_xml_string(make_model(), assets=common.ASSETS)
   task = PointMass(model, randomize_gains=False)
   environment_kwargs = environment_kwargs or {}
   return control.Environment(model, task, time_limit=time_limit,
@@ -71,7 +37,7 @@ def easy(time_limit=_DEFAULT_TIME_LIMIT, random=None,
 def hard(time_limit=_DEFAULT_TIME_LIMIT, random=None,
          environment_kwargs=None):
   """Returns the hard point_mass task (randomized actuation gains)."""
-  model = models.from_xml_string(make_model())
+  model = models.from_xml_string(make_model(), assets=common.ASSETS)
   task = PointMass(model, randomize_gains=True)
   environment_kwargs = environment_kwargs or {}
   return control.Environment(model, task, time_limit=time_limit,

@@ -1,11 +1,13 @@
 """Quadruped domain (behavioural parity: reference suite/quadruped.py).
 
-Round 1 ships the flat-floor tasks (walk, run); escape (heightfield
-terrain + rangefinders) and fetch (walls + ball) follow with hfield
-collision and ray sensors.
+The model is the reference quadruped.xml verbatim (suite/assets/), with
+the same element-removal patching as the reference make_model
+(reference suite/quadruped.py:55-94). walk/run/fetch ship now; escape
+lands with heightfield collision.
 """
 
 import collections
+from xml.etree import ElementTree as etree
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +18,7 @@ from dm_control_tpu.ops import collision as coll_ops
 from dm_control_tpu.ops import smooth
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 from dm_control_tpu.utils import rewards
 
@@ -23,160 +26,56 @@ _DEFAULT_TIME_LIMIT = 20
 _CONTROL_TIMESTEP = .02
 _RUN_SPEED = 5
 _WALK_SPEED = 0.5
+_HEIGHTFIELD_ID = 0
+_TERRAIN_SMOOTHNESS = 0.15   # 0.0: maximally bumpy; 1.0: smooth
+_TERRAIN_BUMP_SCALE = 2      # spatial scale of terrain bumps (meters)
 SUITE = containers.TaggedTasks()
 
-_LEGS = {  # name -> (hip position, hip yaw in degrees)
-    'front_left': ((.2, .2, 0), 45),
-    'front_right': ((.2, -.2, 0), -45),
-    'back_right': ((-.2, -.2, 0), -135),
-    'back_left': ((-.2, .2, 0), 135),
-}
+_TOES = ['toe_front_left', 'toe_back_left', 'toe_back_right',
+         'toe_front_right']
+_WALLS = ['wall_px', 'wall_py', 'wall_nx', 'wall_ny']
 
 
-def _leg_xml(name: str) -> str:
-  (px, py, pz), yaw = _LEGS[name]
-  return f"""
-      <body name="hip_{name}" pos="{px} {py} {pz}" euler="0 0 {yaw}"
-            childclass="hip">
-        <joint name="yaw_{name}" class="yaw"/>
-        <joint name="pitch_{name}" class="pitch"/>
-        <geom name="thigh_{name}"/>
-        <body name="knee_{name}" pos=".3 0 .11" childclass="knee">
-          <joint name="knee_{name}"/>
-          <geom name="shin_{name}"/>
-          <body name="ankle_{name}" pos=".25 0 -.25" childclass="ankle">
-            <joint name="ankle_{name}"/>
-            <geom name="foot_{name}"/>
-            <body name="toe_{name}" pos="0 0 -.3" childclass="toe">
-              <geom name="toe_{name}"/>
-              <site name="toe_{name}"/>
-            </body>
-          </body>
-        </body>
-      </body>"""
+def _remove(mjcf, tag, name):
+  for parent in mjcf.iter():
+    for child in list(parent):
+      if child.tag == tag and child.get('name') == name:
+        parent.remove(child)
+        return
+  raise ValueError(f'{tag} {name!r} not found')
 
 
-def _leg_tendons(name: str) -> str:
-  return f"""
-    <fixed name="coupling_{name}">
-      <joint joint="pitch_{name}" coef=".333"/>
-      <joint joint="knee_{name}" coef=".333"/>
-      <joint joint="ankle_{name}" coef=".333"/>
-    </fixed>
-    <fixed name="extend_{name}">
-      <joint joint="pitch_{name}" coef=".25"/>
-      <joint joint="knee_{name}" coef="-.5"/>
-      <joint joint="ankle_{name}" coef=".25"/>
-    </fixed>
-    <fixed name="lift_{name}">
-      <joint joint="pitch_{name}" coef=".5"/>
-      <joint joint="ankle_{name}" coef="-.5"/>
-    </fixed>"""
+def make_model(floor_size=None, terrain=False, rangefinders=False,
+               walls_and_ball=False) -> str:
+  """Reference quadruped.xml with unused elements removed
+  (reference suite/quadruped.py:55-94 `make_model`)."""
+  mjcf = etree.fromstring(common.read_model('quadruped.xml'))
 
+  if floor_size is not None:
+    floor_geom = mjcf.find('.//geom[@name=\'floor\']')
+    floor_geom.set('size', f'{floor_size} {floor_size} .5')
 
-def make_model(floor_size: float = 10.0) -> str:
-  """Flat-floor quadruped with coupled 3-dof legs."""
-  legs = ''.join(_leg_xml(n) for n in _LEGS)
-  tendons = ''.join(_leg_tendons(n) for n in _LEGS)
-  couplings = '\n'.join(
-      f'    <tendon name="coupling_{n}" tendon1="coupling_{n}"'
-      f' class="coupling"/>' for n in _LEGS)
-  actuators = '\n'.join(
-      f'    <general name="yaw_{n}" class="yaw_act" joint="yaw_{n}"/>\n'
-      f'    <general name="lift_{n}" class="lift_act"'
-      f' tendon="lift_{n}"/>\n'
-      f'    <general name="extend_{n}" class="extend_act"'
-      f' tendon="extend_{n}"/>' for n in _LEGS)
-  force_sensors = '\n'.join(
-      f'    <force name="force_toe_{n}" site="toe_{n}"/>' for n in _LEGS)
-  torque_sensors = '\n'.join(
-      f'    <torque name="torque_toe_{n}" site="toe_{n}"/>'
-      for n in _LEGS)
-  return f"""
-<mujoco model="quadruped">
-  <option timestep=".005"/>
-  <default>
-    <geom solimp=".9 .99 .003" solref=".01 1"/>
-    <default class="body">
-      <geom type="capsule" size=".08" condim="1" density="500"/>
-      <joint type="hinge" damping="30" armature=".01" limited="true"
-             solimplimit="0 .99 .01"/>
-      <default class="hip">
-        <default class="yaw">
-          <joint axis="0 0 1" range="-50 50"/>
-        </default>
-        <default class="pitch">
-          <joint axis="0 1 0" range="-20 60"/>
-        </default>
-        <geom fromto="0 0 0 .3 0 .11"/>
-      </default>
-      <default class="knee">
-        <joint axis="0 1 0" range="-60 50"/>
-        <geom size=".065" fromto="0 0 0 .25 0 -.25"/>
-      </default>
-      <default class="ankle">
-        <joint axis="0 1 0" range="-45 55"/>
-        <geom size=".055" fromto="0 0 0 0 0 -.25"/>
-      </default>
-      <default class="toe">
-        <geom type="sphere" size=".08" friction="1.5"/>
-        <site type="sphere" size=".084" group="4"/>
-      </default>
-    </default>
-    <default class="coupling">
-      <equality solimp="0.95 0.99 0.01" solref=".005 .5"/>
-    </default>
-    <general ctrllimited="true" gainprm="1000" biasprm="0 -1000"
-             biastype="affine" dyntype="filter" dynprm=".1"/>
-    <default class="yaw_act">
-      <general ctrlrange="-1 1"/>
-    </default>
-    <default class="lift_act">
-      <general ctrlrange="-1 1.1"/>
-    </default>
-    <default class="extend_act">
-      <general ctrlrange="-.8 .8"/>
-    </default>
-  </default>
-  <worldbody>
-    <geom name="floor" type="plane" size="{floor_size} {floor_size} .5"/>
-    <body name="torso" childclass="body" pos="0 0 .57">
-      <freejoint name="root"/>
-      <geom name="eye_r" type="cylinder" size=".05"
-            fromto=".1 -.07 .12 .31 -.07 .08" mass="0"/>
-      <geom name="eye_l" type="cylinder" size=".05"
-            fromto=".1 .07 .12 .31 .07 .08" mass="0"/>
-      <geom name="torso" type="ellipsoid" size=".3 .27 .2"
-            density="1000"/>
-      <site name="torso_touch" type="box" size=".26 .26 .26"/>
-      <site name="torso" size=".05"/>
-      <site name="workspace" type="sphere" size=".3 .3 .3"
-            pos=".8 0 -.2" group="3"/>{legs}
-    </body>
-  </worldbody>
-  <tendon>{tendons}
-  </tendon>
-  <equality>
-{couplings}
-  </equality>
-  <actuator>
-{actuators}
-  </actuator>
-  <sensor>
-    <accelerometer name="imu_accel" site="torso"/>
-    <gyro name="imu_gyro" site="torso"/>
-    <velocimeter name="velocimeter" site="torso"/>
-{force_sensors}
-{torque_sensors}
-    <subtreecom name="center_of_mass" body="torso"/>
-  </sensor>
-</mujoco>
-"""
+  if not walls_and_ball:
+    for wall in _WALLS:
+      _remove(mjcf, 'geom', wall)
+    _remove(mjcf, 'body', 'ball')
+    _remove(mjcf, 'site', 'target')
+
+  if not terrain:
+    _remove(mjcf, 'geom', 'terrain')
+
+  if not rangefinders:
+    for sensor in mjcf.findall('sensor'):
+      for rf in sensor.findall('rangefinder'):
+        sensor.remove(rf)
+
+  return etree.tostring(mjcf, encoding='unicode')
 
 
 def _make_env(desired_speed, floor_size, time_limit, random,
               environment_kwargs):
-  model = models.from_xml_string(make_model(floor_size=floor_size))
+  model = models.from_xml_string(make_model(floor_size=floor_size),
+                                 assets=common.ASSETS)
   task = Move(model, desired_speed=desired_speed)
   environment_kwargs = environment_kwargs or {}
   return control.Environment(
@@ -201,6 +100,35 @@ def run(time_limit=_DEFAULT_TIME_LIMIT, random=None,
                    time_limit, random, environment_kwargs)
 
 
+@SUITE.add()
+def escape(time_limit=_DEFAULT_TIME_LIMIT, random=None,
+           environment_kwargs=None):
+  """Returns the Escape task."""
+  model = models.from_xml_string(
+      make_model(floor_size=40, terrain=True, rangefinders=True),
+      assets=common.ASSETS)
+  task = Escape(model)
+  environment_kwargs = environment_kwargs or {}
+  return control.Environment(
+      model, task, time_limit=time_limit,
+      control_timestep=_CONTROL_TIMESTEP, seed=random,
+      **environment_kwargs)
+
+
+@SUITE.add()
+def fetch(time_limit=_DEFAULT_TIME_LIMIT, random=None,
+          environment_kwargs=None):
+  """Returns the Fetch task."""
+  model = models.from_xml_string(make_model(walls_and_ball=True),
+                                 assets=common.ASSETS)
+  task = Fetch(model)
+  environment_kwargs = environment_kwargs or {}
+  return control.Environment(
+      model, task, time_limit=time_limit,
+      control_timestep=_CONTROL_TIMESTEP, seed=random,
+      **environment_kwargs)
+
+
 def _upright_reward(model, data, torso, deviation_angle=0):
   deviation = np.cos(np.deg2rad(deviation_angle))
   return rewards.tolerance(
@@ -209,12 +137,12 @@ def _upright_reward(model, data, torso, deviation_angle=0):
       margin=1 + deviation, value_at_margin=0)
 
 
-class Move(base.Task):
-  """Move forward at the desired horizontal speed, staying upright."""
+class _QuadrupedTask(base.Task):
+  """Shared observations/init for the quadruped tasks
+  (reference suite/quadruped.py:145-305)."""
 
-  def __init__(self, model, desired_speed):
+  def __init__(self, model):
     super().__init__(model)
-    self._desired_speed = desired_speed
     self._torso = self.body_id('torso')
     self._root_q = self.joint_qposadr('root')
     from dm_control_tpu.models import constants
@@ -228,15 +156,19 @@ class Move(base.Task):
     names = model.names.names('sensor')
     self._ft = [self.sensor_slice(n) for n in names
                 if n.startswith(('force_', 'torque_'))]
+    self._rf = [self.sensor_slice(n) for n in names
+                if n.startswith('rf_')]
+    self._workspace_s = self.site_id('workspace')
 
-  def initialize_episode(self, model, data, rng):
-    """Random orientation; raise the root until there are no contacts."""
-    quat = jax.random.normal(rng, (4,), dtype=data.qpos.dtype)
-    quat = quat / jnp.maximum(jnp.linalg.norm(quat), 1e-12)
+  def _find_non_contacting_height(self, model, data, quat, x=0.0,
+                                  y=0.0):
+    """Raise the root in 1cm steps until nothing penetrates
+    (reference suite/quadruped.py:250-278)."""
+    dtype = data.qpos.dtype
     adr = self._root_q
     qpos0 = jnp.asarray(data.qpos)
-    qpos0 = qpos0.at[adr:adr + 3].set(
-        jnp.zeros(3, dtype=data.qpos.dtype))
+    qpos0 = qpos0.at[adr].set(jnp.asarray(x, dtype))
+    qpos0 = qpos0.at[adr + 1].set(jnp.asarray(y, dtype))
     qpos0 = qpos0.at[adr + 3:adr + 7].set(quat)
 
     def ncon_at(z):
@@ -255,11 +187,15 @@ class Move(base.Task):
       z = z + 0.01
       return z, ncon_at(z), it + 1
 
-    z0 = jnp.zeros((), dtype=data.qpos.dtype)
+    z0 = jnp.zeros((), dtype=dtype)
     z, _, _ = jax.lax.while_loop(cond, body, (z0, ncon_at(z0), 0))
-    return data.replace(qpos=qpos0.at[adr + 2].set(z))
+    return qpos0.at[adr + 2].set(z)
 
-  def get_observation(self, model, data):
+  def _random_orientation(self, rng, dtype):
+    quat = jax.random.normal(rng, (4,), dtype=dtype)
+    return quat / jnp.maximum(jnp.linalg.norm(quat), 1e-12)
+
+  def _common_observations(self, data):
     obs = collections.OrderedDict()
     hq = jnp.stack([data.qpos[a] for a in self._hinge_q])
     hv = jnp.stack([data.qvel[a] for a in self._hinge_v])
@@ -272,6 +208,22 @@ class Move(base.Task):
         [data.sensordata[s] for s in self._ft]))
     return obs
 
+
+class Move(_QuadrupedTask):
+  """Move forward at the desired horizontal speed, staying upright."""
+
+  def __init__(self, model, desired_speed):
+    super().__init__(model)
+    self._desired_speed = desired_speed
+
+  def initialize_episode(self, model, data, rng):
+    quat = self._random_orientation(rng, data.qpos.dtype)
+    qpos = self._find_non_contacting_height(model, data, quat)
+    return data.replace(qpos=qpos)
+
+  def get_observation(self, model, data):
+    return self._common_observations(data)
+
   def get_reward(self, model, data):
     move_reward = rewards.tolerance(
         data.sensordata[self._vel_slice][0],
@@ -279,3 +231,120 @@ class Move(base.Task):
         margin=self._desired_speed, value_at_margin=0.5,
         sigmoid='linear')
     return _upright_reward(model, data, self._torso) * move_reward
+
+
+class Escape(_QuadrupedTask):
+  """Escape a bowl-shaped terrain (reference quadruped.py:368-440).
+
+  The bowl heightfield (sinusoidal bowl x random smooth bumps) is
+  regenerated per episode into model.hfield_data. Rangefinder rays do
+  not yet intersect the heightfield surface (they see other geoms
+  only), so in-bowl rangefinder readings are mostly 1.0 (no hit).
+  """
+
+  def randomize_model(self, model, rng):
+    res = model.hfield_nrow[0]
+    dtype = model.hfield_data.dtype
+    grid = jnp.linspace(-1.0, 1.0, res, dtype=dtype)
+    radius = jnp.clip(jnp.sqrt(grid[None, :] ** 2 + grid[:, None] ** 2),
+                      .04, 1)
+    bowl_shape = .5 - jnp.cos(2 * np.pi * radius) / 2
+    terrain_size = 2 * model.hfield_size[0, 0]
+    bump_res = int(float(terrain_size) / _TERRAIN_BUMP_SCALE)
+    bumps = jax.random.uniform(rng, (bump_res, bump_res), dtype,
+                               _TERRAIN_SMOOTHNESS, 1.0)
+    smooth_bumps = jax.image.resize(bumps, (res, res), 'bicubic')
+    terrain = (bowl_shape * smooth_bumps).reshape(-1)
+    return model.replace(hfield_data=terrain)
+
+  def initialize_episode(self, model, data, rng):
+    quat = self._random_orientation(rng, data.qpos.dtype)
+    qpos = self._find_non_contacting_height(model, data, quat)
+    return data.replace(qpos=qpos)
+
+  def get_observation(self, model, data):
+    obs = self._common_observations(data)
+    # origin in torso frame
+    torso_frame = data.xmat[self._torso]
+    torso_pos = data.xpos[self._torso]
+    obs['origin'] = -torso_pos @ torso_frame
+    rf = jnp.concatenate([data.sensordata[s] for s in self._rf])
+    obs['rangefinder'] = jnp.where(rf == -1.0, 1.0, jnp.tanh(rf))
+    return obs
+
+  def get_reward(self, model, data):
+    terrain_size = model.hfield_size[0, 0]
+    escape_reward = rewards.tolerance(
+        jnp.linalg.norm(data.site_xpos[self._workspace_s]),
+        bounds=(terrain_size, float('inf')),
+        margin=terrain_size, value_at_margin=0, sigmoid='linear')
+    return _upright_reward(model, data, self._torso,
+                           deviation_angle=20) * escape_reward
+
+
+class Fetch(_QuadrupedTask):
+  """Bring the ball to the target (reference quadruped.py:443-477)."""
+
+  def __init__(self, model):
+    super().__init__(model)
+    self._ball_b = self.body_id('ball')
+    self._ball_g = self.geom_id('ball')
+    self._floor_g = self.geom_id('floor')
+    self._target_s = self.site_id('target')
+    self._ball_q = self.joint_qposadr('ball_root')
+    self._ball_v = self.joint_dofadr('ball_root')
+    self._root_v = self.joint_dofadr('root')
+
+  def initialize_episode(self, model, data, rng):
+    dtype = data.qpos.dtype
+    ka, kxy, kb, kv = jax.random.split(rng, 4)
+    azimuth = jax.random.uniform(ka, (), dtype, 0, 2 * np.pi)
+    quat = jnp.stack([jnp.cos(azimuth / 2), jnp.zeros((), dtype),
+                      jnp.zeros((), dtype), jnp.sin(azimuth / 2)])
+    spawn_radius = 0.9 * model.geom_size[self._floor_g, 0]
+    xy = jax.random.uniform(kxy, (2,), dtype, -spawn_radius,
+                            spawn_radius)
+    qpos = self._find_non_contacting_height(model, data, quat,
+                                            x=xy[0], y=xy[1])
+    bxy = jax.random.uniform(kb, (2,), dtype, -spawn_radius,
+                             spawn_radius)
+    qpos = qpos.at[self._ball_q:self._ball_q + 2].set(bxy)
+    qpos = qpos.at[self._ball_q + 2].set(jnp.asarray(2.0, dtype))
+    qvel = jnp.asarray(data.qvel)
+    qvel = qvel.at[self._ball_v:self._ball_v + 2].set(
+        5 * jax.random.normal(kv, (2,), dtype))
+    return data.replace(qpos=qpos, qvel=qvel)
+
+  def get_observation(self, model, data):
+    obs = self._common_observations(data)
+    torso_frame = data.xmat[self._torso]
+    torso_pos = data.xpos[self._torso]
+    ball_rel_pos = data.xpos[self._ball_b] - torso_pos
+    ball_rel_vel = (data.qvel[self._ball_v:self._ball_v + 3] -
+                    data.qvel[self._root_v:self._root_v + 3])
+    ball_rot_vel = data.qvel[self._ball_v + 3:self._ball_v + 6]
+    ball_state = jnp.stack([ball_rel_pos, ball_rel_vel, ball_rot_vel])
+    obs['ball_state'] = (ball_state @ torso_frame).ravel()
+    torso_to_target = data.site_xpos[self._target_s] - torso_pos
+    obs['target_position'] = torso_to_target @ torso_frame
+    return obs
+
+  def get_reward(self, model, data):
+    arena_radius = model.geom_size[self._floor_g, 0] * np.sqrt(2)
+    workspace_radius = model.site_size[self._workspace_s, 0]
+    ball_radius = model.geom_size[self._ball_g, 0]
+    self_to_ball = (data.site_xpos[self._workspace_s] -
+                    data.xpos[self._ball_b])
+    reach_reward = rewards.tolerance(
+        jnp.linalg.norm(self_to_ball[:2]),
+        bounds=(0, workspace_radius + ball_radius),
+        sigmoid='linear', margin=arena_radius, value_at_margin=0)
+    target_radius = model.site_size[self._target_s, 0]
+    ball_to_target = (data.site_xpos[self._target_s] -
+                      data.xpos[self._ball_b])
+    fetch_reward = rewards.tolerance(
+        jnp.linalg.norm(ball_to_target[:2]),
+        bounds=(0, target_radius), sigmoid='linear',
+        margin=arena_radius, value_at_margin=0)
+    reach_then_fetch = reach_reward * (0.5 + 0.5 * fetch_reward)
+    return _upright_reward(model, data, self._torso) * reach_then_fetch

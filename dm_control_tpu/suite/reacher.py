@@ -9,6 +9,7 @@ import numpy as np
 from dm_control_tpu import models
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 from dm_control_tpu.utils import rewards
 
@@ -19,46 +20,12 @@ SUITE = containers.TaggedTasks()
 
 
 def make_model() -> str:
-  """Two-link planar arm with a floating target marker."""
-  return """
-<mujoco model="two-link reacher">
-  <option timestep="0.02">
-    <flag contact="disable"/>
-  </option>
-  <default>
-    <joint type="hinge" axis="0 0 1" damping="0.01"/>
-    <motor gear=".05" ctrlrange="-1 1" ctrllimited="true"/>
-  </default>
-  <worldbody>
-    <camera name="fixed" pos="0 0 .75" quat="1 0 0 0"/>
-    <geom name="ground" type="plane" pos="0 0 0" size=".3 .3 10"/>
-    <geom name="root" type="cylinder" fromto="0 0 0 0 0 0.02"
-          size=".011"/>
-    <body name="arm" pos="0 0 .01">
-      <geom name="arm" type="capsule" fromto="0 0 0 0.12 0 0"
-            size=".01"/>
-      <joint name="shoulder"/>
-      <body name="hand" pos=".12 0 0">
-        <geom name="hand" type="capsule" fromto="0 0 0 0.1 0 0"
-              size=".01"/>
-        <joint name="wrist" limited="true" range="-160 160"/>
-        <body name="finger" pos=".12 0 0">
-          <geom name="finger" type="sphere" size=".01"/>
-        </body>
-      </body>
-    </body>
-    <geom name="target" pos="0 0 .01" type="sphere" size=".05"/>
-  </worldbody>
-  <actuator>
-    <motor name="shoulder" joint="shoulder"/>
-    <motor name="wrist" joint="wrist"/>
-  </actuator>
-</mujoco>
-"""
+  """Reference model asset, verbatim (suite/assets/reacher.xml)."""
+  return common.read_model('reacher.xml')
 
 
 def _make_env(target_size, time_limit, random, environment_kwargs):
-  model = models.from_xml_string(make_model())
+  model = models.from_xml_string(make_model(), assets=common.ASSETS)
   # bake the task's target size into the model
   gid = model.names.name2id('geom', 'target')
   geom_size = np.array(model.geom_size)

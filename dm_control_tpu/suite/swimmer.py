@@ -5,6 +5,7 @@ the medium-density fluid drag model (option density=3000).
 """
 
 import collections
+from xml.etree import ElementTree as etree
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ import numpy as np
 from dm_control_tpu import models
 from dm_control_tpu.rl import control
 from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 from dm_control_tpu.utils import rewards
 
@@ -22,89 +24,49 @@ SUITE = containers.TaggedTasks()
 
 
 def make_model(n_bodies: int) -> str:
-  """Generates an n-body swimmer model."""
+  """Reference swimmer.xml with the body chain, actuators, and sensors
+  added procedurally (reference suite/swimmer.py:83-121 `_make_model`)."""
   if n_bodies < 3:
     raise ValueError(f'at least 3 bodies required, got {n_bodies}')
-  joint_limit = 360.0 / n_bodies
+  mjcf = etree.fromstring(common.read_model('swimmer.xml'))
+  head_body = mjcf.find('./worldbody/body')
+  actuator = etree.SubElement(mjcf, 'actuator')
+  sensor = etree.SubElement(mjcf, 'sensor')
 
-  segments = ''
-  indent = '      '
-  for i in range(n_bodies - 1):
-    segments += f"""
-{indent}<body name="segment_{i}" pos="0 .1 0">
-{indent}  <geom class="visual" name="visual_{i}"/>
-{indent}  <geom class="inertial" name="inertial_{i}"/>
-{indent}  <site name="site_{i}"/>
-{indent}  <joint name="joint_{i}" range="-{joint_limit} {joint_limit}"/>"""
-    indent += '  '
-  for i in range(n_bodies - 1):
-    indent = indent[:-2]
-    segments += f'\n{indent}</body>'
+  parent = head_body
+  for body_index in range(n_bodies - 1):
+    site_name = f'site_{body_index}'
+    child = etree.Element('body', name=f'segment_{body_index}',
+                          pos='0 .1 0')
+    etree.SubElement(child, 'geom', {'class': 'visual',
+                                     'name': f'visual_{body_index}'})
+    etree.SubElement(child, 'geom', {'class': 'inertial',
+                                     'name': f'inertial_{body_index}'})
+    child.append(etree.Element('site', name=site_name))
+    joint_name = f'joint_{body_index}'
+    joint_limit = 360.0 / n_bodies
+    child.append(etree.Element(
+        'joint', {'name': joint_name,
+                  'range': f'{-joint_limit} {joint_limit}'}))
+    actuator.append(etree.Element('motor', name=f'motor_{body_index}',
+                                  joint=joint_name))
+    sensor.append(etree.Element(
+        'velocimeter', name=f'velocimeter_{body_index}', site=site_name))
+    sensor.append(etree.Element(
+        'gyro', name=f'gyro_{body_index}', site=site_name))
+    parent.append(child)
+    parent = child
 
-  actuators = '\n'.join(
-      f'    <motor name="motor_{i}" joint="joint_{i}"/>'
-      for i in range(n_bodies - 1))
-  sensors = '\n'.join(
-      f'    <velocimeter name="velocimeter_{i}" site="site_{i}"/>\n'
-      f'    <gyro name="gyro_{i}" site="site_{i}"/>'
-      for i in range(n_bodies - 1))
+  # scale the tracking cameras to the swimmer's length
+  cameras = mjcf.findall('./worldbody/body/camera')
+  scale = n_bodies / 6.0
+  for cam in cameras:
+    if cam.get('mode') == 'trackcom':
+      old_pos = cam.get('pos').split(' ')
+      cam.set('pos', ' '.join(str(float(dim) * scale)
+                              for dim in old_pos))
+  return etree.tostring(mjcf, encoding='unicode')
 
-  return f"""
-<mujoco model="swimmer">
-  <option timestep="0.002" density="3000">
-    <flag contact="disable"/>
-  </option>
-  <default>
-    <default class="swimmer">
-      <joint type="hinge" pos="0 -.05 0" axis="0 0 1" limited="true"
-             solreflimit=".05 1" solimplimit="0 .8 .1" armature="1e-6"/>
-      <default class="inertial">
-        <geom type="box" size=".001 .05 .01" mass=".01"/>
-      </default>
-      <default class="visual">
-        <geom type="capsule" size=".01" fromto="0 -.05 0 0 .05 0"
-              mass="0"/>
-      </default>
-      <site size=".01"/>
-    </default>
-    <default class="free">
-      <joint limited="false" stiffness="0" armature="0"/>
-    </default>
-    <motor gear="5e-4" ctrllimited="true" ctrlrange="-1 1"/>
-  </default>
-  <worldbody>
-    <geom name="ground" type="plane" size="2 2 0.1"/>
-    <body name="head" pos="0 0 .05" childclass="swimmer">
-      <geom name="head" type="ellipsoid" size=".02 .04 .017"
-            pos="0 -.022 0" mass="0"/>
-      <geom name="nose" type="sphere" pos="0 -.06 0" size=".004"
-            mass="0"/>
-      <joint name="rootx" class="free" type="slide" axis="1 0 0"
-             pos="0 -.05 0"/>
-      <joint name="rooty" class="free" type="slide" axis="0 1 0"
-             pos="0 -.05 0"/>
-      <joint name="rootz" class="free" type="hinge" axis="0 0 1"
-             pos="0 -.05 0"/>
-      <geom name="inertial" class="inertial"/>
-      <geom name="visual" class="visual"/>
-      <site name="head"/>{segments}
-    </body>
-    <geom name="target" type="sphere" pos="1 1 .05" size=".1"/>
-  </worldbody>
-  <sensor>
-    <framepos name="nose_pos" objtype="geom" objname="nose"/>
-    <framepos name="target_pos" objtype="geom" objname="target"/>
-    <framexaxis name="head_xaxis" objtype="xbody" objname="head"/>
-    <frameyaxis name="head_yaxis" objtype="xbody" objname="head"/>
-    <velocimeter name="head_vel" site="head"/>
-    <gyro name="head_gyro" site="head"/>
-{sensors}
-  </sensor>
-  <actuator>
-{actuators}
-  </actuator>
-</mujoco>
-"""
 
 
 @SUITE.add('benchmarking')
@@ -128,7 +90,7 @@ def swimmer(n_links=3, time_limit=_DEFAULT_TIME_LIMIT, random=None,
 
 
 def _make_swimmer(n_joints, time_limit, random, environment_kwargs):
-  model = models.from_xml_string(make_model(n_joints))
+  model = models.from_xml_string(make_model(n_joints), assets=common.ASSETS)
   task = Swimmer(model)
   environment_kwargs = environment_kwargs or {}
   return control.Environment(

@@ -94,8 +94,10 @@ def test_composer_episode(env):
   assert ts.first()
   obs = ts.observation
   assert 'ball/position' in obs
+  # set_pose places the attachment FRAME (reference semantics); the
+  # ball body sits 0.2 above its frame in the Ball model
   np.testing.assert_allclose(np.asarray(obs['ball/position']).ravel(),
-                             [0.1, 0, 0.5], atol=1e-5)
+                             [0.1, 0, 0.7], atol=1e-5)
   # drop: after enough steps the ball rests on the floor
   reward = 0.0
   for _ in range(60):

@@ -1,0 +1,71 @@
+"""On-device ray-caster: output contracts and analytic correctness."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip('jax')
+import jax.numpy as jnp  # noqa: E402
+
+import dm_control_tpu.models as M  # noqa: E402
+from dm_control_tpu.mujoco import engine  # noqa: E402
+from dm_control_tpu.ops import forward  # noqa: E402
+from dm_control_tpu.render import rasterizer  # noqa: E402
+
+_XML = """
+<mujoco>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1" pos="0 0 0"/>
+    <camera name="cam" pos="0 -3 1" zaxis="0 -1 0"/>
+    <body name="b" pos="0 0 1">
+      <freejoint/>
+      <geom name="ball" type="sphere" size="0.3" rgba="1 0 0 1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+@pytest.fixture(scope='module')
+def physics():
+  return engine.Physics.from_xml_string(_XML)
+
+
+def test_rgb_contract(physics):
+  img = physics.render(height=60, width=80, camera_id=0)
+  assert img.shape == (60, 80, 3) and img.dtype == np.uint8
+  # red ball should dominate the center of the frame
+  center = img[28:32, 38:42].reshape(-1, 3).mean(axis=0)
+  assert center[0] > 1.5 * center[1], center
+
+
+def test_depth_analytic(physics):
+  dep = physics.render(height=61, width=81, camera_id=0, depth=True)
+  assert dep.shape == (61, 81) and dep.dtype == np.float32
+  # camera at y=-3 looking +y; ball surface at y=-0.3 -> depth 2.7
+  assert abs(dep[30, 40] - 2.7) < 0.02, dep[30, 40]
+
+
+def test_segmentation_contract(physics):
+  seg = physics.render(height=60, width=80, camera_id=0,
+                       segmentation=True)
+  assert seg.shape == (60, 80, 2) and seg.dtype == np.int32
+  ball_id = physics.model.names.name2id('geom', 'ball')
+  assert seg[30, 40, 0] == ball_id
+  assert seg[30, 40, 1] == 5            # mjOBJ_GEOM
+  assert seg[2, 2, 0] in (-1, physics.model.names.name2id('geom',
+                                                          'floor'))
+
+
+def test_render_vmaps():
+  m = M.from_xml_string(_XML)
+  d0 = M.make_data(m)
+  heights = jnp.array([0.6, 1.0, 1.5])
+  D = jax.vmap(lambda h: d0.replace(
+      qpos=jnp.asarray(d0.qpos).at[2].set(h)))(heights)
+  D = jax.vmap(lambda d: forward.fwd_position(m, d))(D)
+  imgs = jax.jit(jax.vmap(
+      lambda d: rasterizer.render(m, d, height=32, width=32,
+                                  camera_id=0)))(D)
+  assert imgs.shape == (3, 32, 32, 3)
+  # the three frames see the ball at different heights -> differ
+  assert np.any(np.asarray(imgs[0]) != np.asarray(imgs[1]))
