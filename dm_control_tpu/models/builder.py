@@ -445,7 +445,11 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
   # oracle parity tests are unaffected.
   sel_condim = []
   _SELECT_THRESHOLD = 96
-  _GROUP_BUDGET = 64
+  # measured on humanoid.run rollouts: p99 = 2 simultaneously active
+  # contact slots, max ~6 — 16 deepest slots is a generous envelope,
+  # and every solver iteration's cost scales with the resulting row
+  # count (48 slots made humanoid carry 225 constraint rows)
+  _GROUP_BUDGET = 16
   for cdim in sorted(set(slot_dim)):
     n_c = sum(1 for s in slot_dim if s == cdim)
     k_c = n_c if ncon_max <= _SELECT_THRESHOLD else min(n_c, _GROUP_BUDGET)

@@ -807,9 +807,13 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
   # the same soft contract as the compile-time contact budget).
   nefc_full, J_full = nefc, J
   _ROW_BUDGET = 64
-  # elliptic contact blocks must stay intact, so compaction (which
-  # selects individual rows) is pyramidal-only for now
-  compact = nefc > 96 and not groups
+  # Row compaction pays a one-hot gather of J per solve (~0.3 ms at
+  # humanoid sizes) — only worth it when the padded row count is far
+  # above the live-row envelope. The collision-stage top-K budget
+  # already keeps nefc modest for typical models, so this second-level
+  # compaction kicks in only for very wide models. Elliptic contact
+  # blocks must stay intact, so it is pyramidal-only.
+  compact = nefc > 160 and not groups
   if compact:
     K = _ROW_BUDGET
     # equality / frictionloss rows are unconditionally live — bias the
@@ -904,7 +908,7 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
   # same contract as hitting opt.solver_iterations in the C engine).
   # Batches under 1024 envs always run to full convergence.
   B = x.shape[0]
-  tail_thresh = B // 1024
+  tail_thresh = B // 256
 
   def cond_fn(carry):
     x, cost, it, done = carry
