@@ -142,14 +142,18 @@ class Environment(dm_env.Environment):
         self._hooks('after_substep', physics, rs)
         if i < n_sub - 1:
           self._observation_updater.update()
-      task.after_step(physics, rs)
-      for entity in task.iter_entities():
-        entity.after_step(physics, rs)
-      self._observation_updater.update()
     except engine_lib.PhysicsError:
       if self._raise_on_error:
         raise
       failed = True
+
+    # after_step hooks and the final observation update run even on a
+    # divergent physics step (reference environment.py:438-439 places
+    # them after the except block).
+    task.after_step(physics, rs)
+    for entity in task.iter_entities():
+      entity.after_step(physics, rs)
+    self._observation_updater.update()
 
     self._step_count += 1
     obs = self._observation_updater.get_observation()
@@ -157,22 +161,25 @@ class Environment(dm_env.Environment):
       self._reset_next_step = True
       return dm_env.TimeStep(dm_env.StepType.LAST, 0.0, 0.0, obs)
 
+    # Reward AND discount are consulted on every step — MID steps carry
+    # task.get_discount(), not a hardcoded 1.0 (reference
+    # environment.py:443-456).
     reward = task.get_reward(physics)
+    discount = task.get_discount(physics)
     terminating = (task.should_terminate_episode(physics)
                    or physics.time() >= self._time_limit)
     if terminating:
-      discount = task.get_discount(physics)
       self._reset_next_step = True
       return dm_env.TimeStep(dm_env.StepType.LAST, reward, discount,
                              obs)
-    return dm_env.TimeStep(dm_env.StepType.MID, reward, 1.0, obs)
+    return dm_env.TimeStep(dm_env.StepType.MID, reward, discount, obs)
 
   # ------------------------------------------------------------------
   def action_spec(self):
     return self._task.action_spec(self._physics)
 
   def observation_spec(self):
-    if not self._observation_updater._enabled:
+    if not self._observation_updater.has_enabled:
       # probe once to populate
       self._observation_updater.reset(self._physics,
                                       self._random_state)

@@ -71,6 +71,11 @@ class Updater:
       e.buffer.insert(0, delay, e.update_callable())
     self._random_state = random_state
 
+  @property
+  def has_enabled(self) -> bool:
+    """Whether reset() has populated the enabled-observable list."""
+    return bool(self._enabled)
+
   def observation_spec(self):
     return collections.OrderedDict(
         (e.name, e.spec()) for e in self._enabled)

@@ -5,9 +5,15 @@ overloading: `distributions.Uniform(0, 1) * 2 + base`. Evaluation takes
 (initial_value, current_value, random_state).
 """
 
+from dm_control_tpu.composer.variation import colors
+from dm_control_tpu.composer.variation import deterministic
 from dm_control_tpu.composer.variation import distributions
+from dm_control_tpu.composer.variation import math
 from dm_control_tpu.composer.variation import noises
+from dm_control_tpu.composer.variation import rotations
 from dm_control_tpu.composer.variation.base import Variation
+from dm_control_tpu.composer.variation.variation_broadcaster import (
+    VariationBroadcaster)
 from dm_control_tpu.composer.variation.variation_values import (
     evaluate)
 

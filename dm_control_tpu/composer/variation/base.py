@@ -13,7 +13,8 @@ class Variation(abc.ABC):
   """A lazily-evaluated random expression."""
 
   @abc.abstractmethod
-  def __call__(self, initial_value, current_value, random_state):
+  def __call__(self, initial_value=None, current_value=None,
+               random_state=None):
     """Evaluates the variation."""
 
   def __add__(self, other):

@@ -14,8 +14,9 @@ exists for interactive use, tooling, tests and API compatibility.
 
 from __future__ import annotations
 
+import collections
 import contextlib
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,22 @@ from dm_control_tpu.ops import forward as forward_ops
 
 class PhysicsError(RuntimeError):
   """Physics state is divergent (NaN / overflow)."""
+
+
+Selected = collections.namedtuple(
+    'Selected', ['body', 'geom', 'flex', 'skin', 'world_position'])
+
+Pose = collections.namedtuple(
+    'Pose', ['lookat', 'distance', 'azimuth', 'elevation'])
+
+
+class CameraMatrices(NamedTuple):
+  """Component matrices of the 3x4 camera matrix
+  (reference dm_control/mujoco/engine.py:625-639)."""
+  image: np.ndarray        # (3, 3)
+  focal: np.ndarray        # (3, 4)
+  rotation: np.ndarray     # (4, 4)
+  translation: np.ndarray  # (4, 4)
 
 
 class _Named:
@@ -64,6 +81,25 @@ class Physics:
     self.forward()
 
   # ---------------- constructors ----------------
+  @classmethod
+  def _from_parts(cls, model, model_dev, data) -> 'Physics':
+    """Builds a Physics over existing device-resident (model, data)
+    without re-running forward() — used for views shared with a jitted
+    environment (rl.control.Environment.physics)."""
+    new = cls.__new__(cls)
+    new._model = model
+    new._model_dev = model_dev
+    new._data = data
+    new._host_cache = {}
+    new._dirty_fields = set()
+    new._model_dirty = set()
+    new._step_fn = jax.jit(forward_ops.step)
+    new._step_legacy_fn = jax.jit(forward_ops.step_legacy)
+    new._forward_fn = jax.jit(forward_ops.forward)
+    new._named = None
+    new.legacy_step = True
+    return new
+
   @classmethod
   def from_xml_string(cls, xml_string, assets=None) -> 'Physics':
     return cls(models.from_xml_string(xml_string, assets=assets))
@@ -267,15 +303,273 @@ class Physics:
     (reference dm_control/mujoco/engine.py:178-233, 840-946): uint8
     RGB, float metric depth, or int32 (objid, objtype) segmentation.
     """
-    from dm_control_tpu.render import rasterizer
+    camera = Camera(self, height=height, width=width,
+                    camera_id=camera_id)
+    return camera.render(overlays=overlays, depth=depth,
+                         segmentation=segmentation,
+                         scene_option=scene_option,
+                         render_flag_overrides=render_flag_overrides)
+
+  def object_velocity(self, object_id, object_type,
+                      local_frame: bool = False):
+    """6D velocity of a body/geom/site as stacked (linear, angular)
+    (reference dm_control/mujoco/wrapper/core.py:500-525)."""
+    from dm_control_tpu.ops import sensor as sensor_ops
+    m, d = self._model, self.data
+    names = m.names
+    if isinstance(object_id, str):
+      object_id = names.name2id(object_type, object_id)
+    if object_type == 'body':
+      bodyid = object_id
+      point = d.xpos[object_id]
+      rot = d.xmat[object_id]
+    elif object_type == 'geom':
+      bodyid = int(m.geom_bodyid[object_id])
+      point = d.geom_xpos[object_id]
+      rot = d.geom_xmat[object_id]
+    elif object_type == 'site':
+      bodyid = int(m.site_bodyid[object_id])
+      point = d.site_xpos[object_id]
+      rot = d.site_xmat[object_id]
+    else:
+      raise ValueError(
+          f'object_velocity supports body/geom/site, got {object_type!r}')
+    ang, lin = sensor_ops._object_velocity(m, d, point, bodyid)
+    if local_frame:
+      ang, lin = rot.T @ ang, rot.T @ lin
+    return np.stack([np.asarray(jax.device_get(lin)),
+                     np.asarray(jax.device_get(ang))])
+
+  def contact_force(self, contact_id: int):
+    """Wrench of solved contact `contact_id` as a 2x3 array of
+    (force, torque) in the contact frame (normal, tangent, tangent) —
+    reference dm_control/mujoco/wrapper/core.py:527-552. The solver
+    here supports frictional condim<=3 cones, so the torque row is
+    zero (no torsional/rolling friction rows yet)."""
+    con = self.data.contact
+    active = np.asarray(jax.device_get(con.active))
+    n_slots = active.shape[0]
+    if not 0 <= contact_id < n_slots:
+      raise ValueError(
+          f'contact_id must be in [0, {n_slots}), got {contact_id}')
+    force = np.asarray(jax.device_get(con.force[contact_id]))
+    wrench = np.zeros((2, 3))
+    if active[contact_id]:
+      wrench[0] = force
+    return wrench
+
+
+class Camera:
+  """A render viewpoint bound to one model camera (or the free camera).
+
+  API-parity counterpart of reference dm_control/mujoco/engine.py:642-
+  1000 over the on-device ray-caster: width/height properties,
+  `render()` with the same output contracts, `matrices()`/`matrix`
+  (engine.py:759-808), and ray-cast `select()` picking (engine.py:948-
+  1000, minus flex/skin which this engine does not model).
+  """
+
+  def __init__(self, physics: Physics, height: int = 240,
+               width: int = 320, camera_id=-1, max_geom=None,
+               scene_callback=None):
+    del max_geom, scene_callback  # no mjvScene geom budget here
+    model = physics.model
     if isinstance(camera_id, str):
-      camera_id = self.model.names.name2id('camera', camera_id)
-    if self._dirty_fields or self._model_dirty:
-      self.forward()   # staged writes -> fresh geom poses
+      camera_id = model.names.name2id('camera', camera_id)
+    if camera_id < -1:
+      raise ValueError('camera_id cannot be smaller than -1.')
+    if camera_id >= model.ncam:
+      raise ValueError(
+          f'model has {model.ncam} fixed cameras; camera_id='
+          f'{camera_id} is out of range.')
+    self._physics = physics
+    self._height = height
+    self._width = width
+    self._camera_id = camera_id
+
+  @property
+  def width(self):
+    return self._width
+
+  @property
+  def height(self):
+    return self._height
+
+  def _pose_and_fov(self):
+    """(cam_pos, cam_mat, fovy) for the current physics state."""
+    from dm_control_tpu.render import rasterizer
+    m, d = self._physics.model, self._physics.data
+    pos, mat = rasterizer.camera_pose(m, d, self._camera_id)
+    fovy = (float(np.asarray(m.cam_fovy)[self._camera_id])
+            if self._camera_id >= 0 else 45.0)
+    return pos, mat, fovy
+
+  def matrices(self) -> CameraMatrices:
+    """Image/focal/rotation/translation components of the camera
+    matrix, matching reference engine.py:759-808."""
+    pos, mat, fovy = self._pose_and_fov()
+    pos = np.asarray(jax.device_get(pos))
+    mat = np.asarray(jax.device_get(mat))
+    # camera axes are mat's columns; world->camera rotation = mat^T
+    rotation = np.eye(4)
+    rotation[0:3, 0:3] = mat.T
+    translation = np.eye(4)
+    translation[0:3, 3] = -pos
+    focal_scaling = (1.0 / np.tan(np.deg2rad(fovy) / 2)
+                     ) * self._height / 2.0
+    focal = np.diag([-focal_scaling, focal_scaling, 1.0, 0.0])[0:3, :]
+    image = np.eye(3)
+    image[0, 2] = (self._width - 1) / 2.0
+    image[1, 2] = (self._height - 1) / 2.0
+    return CameraMatrices(image=image, focal=focal, rotation=rotation,
+                          translation=translation)
+
+  @property
+  def matrix(self):
+    """The 3x4 camera (projection) matrix."""
+    image, focal, rotation, translation = self.matrices()
+    return image @ focal @ rotation @ translation
+
+  def update(self, scene_option=None):
+    """Refreshes derived geometry (FK) for rendering."""
+    del scene_option
+    physics = self._physics
+    if physics._dirty_fields or physics._model_dirty:
+      physics.forward()
+
+  def render(self, overlays=(), depth: bool = False,
+             segmentation: bool = False, scene_option=None,
+             render_flag_overrides=None):
+    """Renders this camera's view; contracts as reference
+    engine.py:840-946."""
+    from dm_control_tpu.render import rasterizer
+    if overlays and (depth or segmentation):
+      raise ValueError(
+          'overlays are not supported with depth or segmentation '
+          'rendering.')
+    if render_flag_overrides and (depth or segmentation):
+      raise ValueError(
+          'render_flag_overrides are not supported with depth or '
+          'segmentation rendering.')
+    if depth and segmentation:
+      raise ValueError(
+          'depth and segmentation cannot both be enabled.')
+    if overlays:
+      raise NotImplementedError(
+          'text overlays require the GL text pipeline, which the '
+          'TPU ray-caster does not implement; composite overlays '
+          'host-side instead.')
+    if scene_option is not None or render_flag_overrides:
+      raise NotImplementedError(
+          'mjvOption scene flags are not supported by the TPU '
+          'ray-caster; pass scene_option=None.')
+    self.update()
+    pos, mat, fovy = self._pose_and_fov()
     out = rasterizer.render(
-        self.model, self.data, height=height, width=width,
-        camera_id=camera_id, depth=depth, segmentation=segmentation)
-    return np.asarray(out)
+        self._physics.model, self._physics.data, height=self._height,
+        width=self._width, camera_id=self._camera_id, depth=depth,
+        segmentation=segmentation, cam_pos=pos, cam_mat=mat, fovy=fovy)
+    return np.asarray(jax.device_get(out))
+
+  def select(self, cursor_position):
+    """Body/geom under a cursor position ((x, y) in [0,1]^2,
+    (0,0) = bottom-left). Returns a Selected namedtuple."""
+    from dm_control_tpu.render import rasterizer
+    self.update()
+    pos, mat, fovy = self._pose_and_fov()
+    cx, cy = cursor_position
+    tan_half = np.tan(np.deg2rad(fovy) / 2.0)
+    aspect = self._width / self._height
+    x_cam = (2.0 * cx - 1.0) * tan_half * aspect
+    y_cam = (2.0 * cy - 1.0) * tan_half
+    direction = np.asarray(jax.device_get(
+        jnp.asarray(mat) @ jnp.array([x_cam, y_cam, -1.0])))
+    m, d = self._physics.model, self._physics.data
+    geom_id, t = rasterizer.raycast(m, d, pos, direction)
+    if geom_id < 0:
+      return Selected(body=None, geom=None, flex=None, skin=None,
+                      world_position=None)
+    direction = direction / np.linalg.norm(direction)
+    world_pos = np.asarray(jax.device_get(pos)) + t * direction
+    body_id = int(m.geom_bodyid[geom_id])
+    return Selected(body=body_id, geom=geom_id, flex=None, skin=None,
+                    world_position=world_pos)
+
+
+class MovableCamera(Camera):
+  """Free camera whose pose is set via (lookat, distance, azimuth,
+  elevation) — reference engine.py:1003-1058."""
+
+  def __init__(self, physics: Physics, height: int = 240,
+               width: int = 320, max_geom=None, scene_callback=None):
+    super().__init__(physics=physics, height=height, width=width,
+                     camera_id=-1, max_geom=max_geom,
+                     scene_callback=scene_callback)
+    # mjv_defaultFreeCamera analogue: look at the scene's centroid
+    # from 1.5 extents away, azimuth 90, elevation -45.
+    d = physics.data
+    m = physics.model
+    if m.ngeom:
+      centroid = np.asarray(jax.device_get(
+          jnp.mean(d.geom_xpos, axis=0)))
+      extent = float(np.max(np.asarray(m.geom_size))) * 4.0 + 1.0
+    else:
+      centroid, extent = np.zeros(3), 1.0
+    self._lookat = centroid
+    self._distance = 1.5 * extent
+    self._azimuth = 90.0
+    self._elevation = -45.0
+
+  def _pose_and_fov(self):
+    az = np.deg2rad(self._azimuth)
+    el = np.deg2rad(self._elevation)
+    forward = np.array([np.cos(el) * np.cos(az),
+                        np.cos(el) * np.sin(az),
+                        np.sin(el)])
+    pos = self._lookat - self._distance * forward
+    up0 = np.array([0.0, 0.0, 1.0])
+    right = np.cross(forward, up0)
+    norm = np.linalg.norm(right)
+    right = (right / norm if norm > 1e-8
+             else np.array([1.0, 0.0, 0.0]))
+    up = np.cross(right, forward)
+    mat = np.stack([right, up, -forward], axis=1)
+    return jnp.asarray(pos), jnp.asarray(mat), 45.0
+
+  def get_pose(self) -> Pose:
+    return Pose(self._lookat.copy(), self._distance, self._azimuth,
+                self._elevation)
+
+  def set_pose(self, lookat, distance, azimuth, elevation) -> None:
+    self._lookat = np.asarray(lookat, dtype=float).copy()
+    self._distance = float(distance)
+    self._azimuth = float(azimuth)
+    self._elevation = float(elevation)
+
+
+class TextOverlay:
+  """Host-side text overlay descriptor (reference engine.py:1061-1090).
+
+  The TPU ray-caster produces raw pixels with no text pipeline, so this
+  carries the title/body/style/position for host-side compositing;
+  passing it to Camera.render raises NotImplementedError by design.
+  """
+
+  __slots__ = ('title', 'body', 'style', 'position')
+
+  _STYLES = ('normal', 'shadow', 'big')
+  _POSITIONS = ('top left', 'top right', 'bottom left', 'bottom right')
+
+  def __init__(self, title='', body='', style='normal',
+               position='top left'):
+    if style not in self._STYLES:
+      raise ValueError(f'style must be one of {self._STYLES}')
+    if position not in self._POSITIONS:
+      raise ValueError(f'position must be one of {self._POSITIONS}')
+    self.title = title
+    self.body = body
+    self.style = style
+    self.position = position
 
 
 def action_spec(physics: Physics):

@@ -214,12 +214,20 @@ _RAY_FUNCS = {
 
 def render(m: Model, d: Data, height: int = 240, width: int = 320,
            camera_id: int = -1, depth: bool = False,
-           segmentation: bool = False):
-  """Render one frame. See module docstring for output contracts."""
+           segmentation: bool = False, cam_pos=None, cam_mat=None,
+           fovy=None):
+  """Render one frame. See module docstring for output contracts.
+
+  `cam_pos`/`cam_mat`/`fovy` override the model camera — used by
+  MovableCamera (free-camera pose set from lookat/distance/azimuth/
+  elevation, reference engine.py:1003-1058).
+  """
   dtype = d.qpos.dtype
-  cam_pos, cam_mat = camera_pose(m, d, camera_id)
-  fovy = (float(np.asarray(m.cam_fovy)[camera_id])
-          if camera_id >= 0 else 45.0)
+  if cam_pos is None or cam_mat is None:
+    cam_pos, cam_mat = camera_pose(m, d, camera_id)
+  if fovy is None:
+    fovy = (float(np.asarray(m.cam_fovy)[camera_id])
+            if camera_id >= 0 else 45.0)
 
   # pixel rays (camera looks along -z; y up; x right)
   tan_half = np.tan(np.deg2rad(fovy) / 2.0)
@@ -290,3 +298,32 @@ def render(m: Model, d: Data, height: int = 240, width: int = 320,
   sky = jnp.array([0.3, 0.45, 0.7], dtype=dtype)
   rgb = jnp.where(hit[..., None], albedo * shade[..., None], sky)
   return (jnp.clip(rgb, 0.0, 1.0) * 255).astype(jnp.uint8)
+
+
+def raycast(m: Model, d: Data, origin, direction):
+  """Nearest visible geom along a single world-space ray.
+
+  Returns (geom_id, t): geom_id == -1 and t == inf when nothing is hit.
+  TPU-native analogue of mjv_select's ray query (reference
+  dm_control/mujoco/engine.py:948-1000) — the viewer/picking entry.
+  """
+  origin = jnp.asarray(origin, dtype=d.qpos.dtype)
+  direction = jnp.asarray(direction, dtype=d.qpos.dtype)
+  direction = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
+
+  best_t, best_g = _BIG, -1
+  gsize = jnp.asarray(m.geom_size, d.qpos.dtype)
+  for g in range(m.ngeom):
+    t_code = int(m.geom_type[g])
+    if t_code not in _RAY_FUNCS or np.asarray(m.geom_rgba)[g, 3] <= 0:
+      continue
+    gm = d.geom_xmat[g]
+    o = (origin - d.geom_xpos[g]) @ gm
+    v = direction @ gm
+    t, _ = _RAY_FUNCS[t_code](o, v, gsize[g])
+    t = float(jax.device_get(t))
+    if t < best_t:
+      best_t, best_g = t, g
+  if best_t >= _BIG:
+    return -1, float('inf')
+  return best_g, best_t

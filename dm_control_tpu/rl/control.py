@@ -134,6 +134,7 @@ class Environment(dm_env.Environment):
     self._key = jax.random.PRNGKey(
         np.random.SeedSequence(seed).generate_state(1)[0])
     self._data: Optional[types.Data] = None
+    self._physics_view = None
 
     model_ = model
     task_ = task
@@ -179,6 +180,42 @@ class Environment(dm_env.Environment):
     return self._data
 
   @property
+  def physics(self):
+    """A `mujoco.Physics` view over this environment's live state.
+
+    Reference parity: suite users read and write
+    `env.physics.named.data.*` between steps (reference
+    rl/control.py:206-272 exposes the physics the env was built with).
+    Writes staged through the view are committed into the jitted
+    loop's state at the next step()/reset(); state advanced by step()
+    is visible through the view immediately.
+    """
+    from dm_control_tpu.mujoco import engine as engine_lib
+    if self._data is None:
+      self.reset()
+    if self._physics_view is None:
+      self._physics_view = engine_lib.Physics._from_parts(
+          self._model, self._model_current, self._data)
+    else:
+      self._sync_view_from_env()
+    return self._physics_view
+
+  def _sync_view_from_env(self):
+    v = self._physics_view
+    if v is not None and v._data is not self._data:
+      v._data = self._data
+      v._host_cache.clear()
+      v._dirty_fields.clear()
+      v._model_dirty.clear()
+
+  def _sync_env_from_view(self):
+    v = self._physics_view
+    if v is not None and (v._dirty_fields or v._model_dirty):
+      v.forward()           # commit staged writes + refresh derived
+      self._data = v._data
+      self._model_current = v._model_dev
+
+  @property
   def task(self) -> Task:
     return self._task
 
@@ -191,6 +228,7 @@ class Environment(dm_env.Environment):
     self._step_count = 0
     self._key, sub = jax.random.split(self._key)
     self._model_current, self._data, obs = self._reset_fn(sub)
+    self._sync_view_from_env()
     obs = self._host_obs(obs)
     return dm_env.TimeStep(
         step_type=dm_env.StepType.FIRST, reward=None, discount=None,
@@ -199,9 +237,11 @@ class Environment(dm_env.Environment):
   def step(self, action) -> dm_env.TimeStep:
     if self._reset_next_step:
       return self.reset()
+    self._sync_env_from_view()
     action = np.asarray(action)
     self._data, obs, reward, term = self._step_fn(
         self._model_current, self._data, action)
+    self._sync_view_from_env()
     self._step_count += 1
 
     if bool(self._data.divergence):
