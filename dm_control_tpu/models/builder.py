@@ -134,12 +134,22 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
     geoms_by_body.setdefault(g.bodyid, []).append(gi)
 
   # geom masses (needed for settotalmass even when inertial is explicit)
+  def _gvolume(g):
+    if g.mesh is not None:
+      return g.mesh.volume
+    return compiler_lib._geom_volume(g.gtype, g.size)
+
+  def _gidiag(g, mass):
+    if g.mesh is not None:
+      return g.mesh.geom_inertia(mass)
+    return compiler_lib._geom_inertia_diag(g.gtype, g.size, mass)
+
   geom_mass = np.zeros(ngeom)
   for gi, g in enumerate(c.geoms):
     if g.mass is not None:
       geom_mass[gi] = g.mass
     else:
-      geom_mass[gi] = g.density * compiler_lib._geom_volume(g.gtype, g.size)
+      geom_mass[gi] = g.density * _gvolume(g)
 
   use_geoms_for = lambda b: (
       c.inertiafromgeom == 'true' or
@@ -162,15 +172,13 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
         # single massive geom: its frame IS the inertial frame (matches
         # the oracle compiler, which skips diagonalization here)
         g = c.geoms[massive[0]]
-        body_inertia[bi] = compiler_lib._geom_inertia_diag(
-            g.gtype, g.size, geom_mass[massive[0]])
+        body_inertia[bi] = _gidiag(g, geom_mass[massive[0]])
         body_iquat[bi] = g.quat
         continue
       inertia = np.zeros((3, 3))
       for gi in glist:
         g = c.geoms[gi]
-        diag = compiler_lib._geom_inertia_diag(g.gtype, g.size,
-                                               geom_mass[gi])
+        diag = _gidiag(g, geom_mass[gi])
         rot = compiler_lib._quat_to_mat(g.quat)
         ig = rot @ np.diag(diag) @ rot.T
         r = g.pos - com
@@ -517,11 +525,27 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
       hfield_data[a0:a0 + h['nrow'] * h['ncol']] = h['data'].reshape(-1)
   hfield_size = (np.stack([h['size'] for h in c.hfields])
                  if c.hfields else np.zeros((0, 4)))
-  geom_dataid = tuple(
-      hf_names.index(g.dataname)
-      if (g.gtype == int(constants.GeomType.HFIELD)
-          and g.dataname in hf_names) else -1
-      for g in c.geoms)
+  mesh_list = list(c.meshes.values())
+  mesh_names = [mm.name for mm in mesh_list]
+  mesh_vertadr, mesh_vertnum = [], []
+  _madr = 0
+  for mm in mesh_list:
+    mesh_vertadr.append(_madr)
+    mesh_vertnum.append(len(mm.hull_verts))
+    _madr += len(mm.hull_verts)
+  mesh_vert = (np.concatenate([mm.hull_verts for mm in mesh_list])
+               if mesh_list else np.zeros((0, 3)))
+
+  def _dataid(g):
+    if (g.gtype == int(constants.GeomType.HFIELD)
+        and g.dataname in hf_names):
+      return hf_names.index(g.dataname)
+    if (g.gtype == int(constants.GeomType.MESH)
+        and g.dataname in mesh_names):
+      return mesh_names.index(g.dataname)
+    return -1
+
+  geom_dataid = tuple(_dataid(g) for g in c.geoms)
   for g in c.geoms:
     # hfield geom size mirrors its asset's (rx, ry, ztop)
     if g.gtype == int(constants.GeomType.HFIELD) and g.dataname in hf_names:
@@ -538,6 +562,10 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
       hfield_adr=tuple(hfield_adr),
       hfield_size=f(hfield_size),
       hfield_data=f(hfield_data),
+      nmesh=len(mesh_list),
+      mesh_vertadr=tuple(mesh_vertadr),
+      mesh_vertnum=tuple(mesh_vertnum),
+      mesh_vert=f(mesh_vert),
       geom_dataid=geom_dataid,
       nsensor=len(c.sensors), nsensordata=nsensordata, neq=neq,
       nmocap=c.nmocap, nkey=len(c.keys),
@@ -627,6 +655,10 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
       jnt_range=f(np.stack([j.range for j in c.joints]) if njnt else
                   np.zeros((0, 2))),
       jnt_stiffness=f(np.array([j.stiffness for j in c.joints])),
+      jnt_springdamper=tuple(
+          (float(j.springdamper[0]), float(j.springdamper[1]))
+          if j.springdamper is not None else (0.0, 0.0)
+          for j in c.joints),
       jnt_solref=f(np.stack([j.solref for j in c.joints]) if njnt else
                    np.zeros((0, 2))),
       jnt_solimp=f(np.stack([j.solimp for j in c.joints]) if njnt else

@@ -42,6 +42,25 @@ def calibrate(m: types.Model) -> types.Model:
 
     dof_invweight0 = np.diag(minv) if m.nv else np.zeros(0)
 
+    # springdamper joints: the compiler overrides stiffness/damping to hit
+    # the requested (timeconst, dampratio) with the apparent joint inertia
+    # M = 1/dof_invweight0 (oracle convention, numerically verified:
+    # k = M/(timeconst*dampratio)^2, d = 2*M/timeconst)
+    jnt_stiffness = np.asarray(m.jnt_stiffness, dtype=np.float64).copy()
+    dof_damping = np.asarray(m.dof_damping, dtype=np.float64).copy()
+    sd_dirty = False
+    for j, (tc, dr) in enumerate(m.jnt_springdamper):
+      if tc > 0 and dr > 0:
+        sd_dirty = True
+        v = m.jnt_dofadr[j]
+        M = 1.0 / max(dof_invweight0[v], 1e-300)
+        jnt_stiffness[j] = M / (tc * dr) ** 2
+        ndof = {int(constants.JointType.FREE): 6,
+                int(constants.JointType.BALL): 3}.get(int(m.jnt_type[j]), 1)
+        for k in range(ndof):
+          Mk = 1.0 / max(dof_invweight0[v + k], 1e-300)
+          dof_damping[v + k] = 2.0 * Mk / tc
+
     # "simple" leaf bodies (world parent, slide-only orthogonal joints,
     # centered inertia) use 1/mass directly, matching the oracle compiler
     def _simple2(b):
@@ -120,6 +139,9 @@ def calibrate(m: types.Model) -> types.Model:
           eq_data[e, 6:10] = relquat
 
   dtype = np.asarray(m.qpos0).dtype
+  if sd_dirty:
+    m = m.replace(jnt_stiffness=np.asarray(jnt_stiffness, dtype=dtype),
+                  dof_damping=np.asarray(dof_damping, dtype=dtype))
   return m.replace(
       dof_invweight0=np.asarray(dof_invweight0, dtype=dtype),
       body_invweight0=np.asarray(body_invweight0, dtype=dtype),

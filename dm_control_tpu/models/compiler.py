@@ -274,6 +274,7 @@ class _Joint:
   solref: np.ndarray
   solimp: np.ndarray
   margin: float
+  springdamper: np.ndarray = None   # (timeconst, dampratio) or None
 
 
 @dataclasses.dataclass
@@ -299,6 +300,7 @@ class _Geom:
   density: float
   rgba: np.ndarray
   dataname: str = ''    # referenced hfield/mesh asset name
+  mesh: Optional[object] = None   # MeshAsset for MESH geoms
 
 
 # ---------------------------------------------------------------------------
@@ -407,6 +409,8 @@ class Compiler:
     self.keys: List[dict] = []
     self.nmocap = 0
     self.hfields: List[dict] = []
+    self.meshes: Dict[str, object] = {}   # name -> MeshAsset
+    self.meshdir = ''
 
   # ---------------- includes ----------------
 
@@ -474,10 +478,13 @@ class Compiler:
   # ---------------- top-level parse ----------------
 
   def parse(self):
+    # <compiler> first: meshdir/angle settings affect asset/body parsing
+    # regardless of document order
     for elem in self.root:
       if elem.tag == 'compiler':
         self._parse_compiler(elem)
-      elif elem.tag == 'default':
+    for elem in self.root:
+      if elem.tag == 'default':
         self.defaults.parse(elem)
       elif elem.tag == 'asset':
         self._parse_asset(elem)
@@ -532,6 +539,51 @@ class Compiler:
         self.hfields.append(dict(
             name=child.get('name', f'hfield{len(self.hfields)}'),
             nrow=nrow, ncol=ncol, size=size, data=data))
+      elif child.tag == 'mesh':
+        self._parse_mesh(child)
+
+  def _parse_mesh(self, child):
+    from dm_control_tpu.models import mesh as mesh_lib
+    fname = child.get('file', '')
+    name = child.get('name') or os.path.splitext(
+        os.path.basename(fname))[0]
+    scale = _floats(child.get('scale', '1 1 1'), 3)
+    if child.get('vertex'):
+      verts = np.fromstring(child.get('vertex'), sep=' ').reshape(-1, 3)
+      verts = verts * scale
+      try:
+        from scipy.spatial import ConvexHull
+        hull = ConvexHull(verts)
+        faces = mesh_lib._hull_faces(verts, hull)
+      except Exception:
+        faces = np.zeros((0, 3), dtype=np.int32)
+      self.meshes[name] = mesh_lib.MeshAsset(name, verts, faces)
+      return
+    content = self._find_asset_bytes(fname)
+    if content is None:
+      # visual-only mesh we cannot locate: tolerate; referencing a
+      # missing mesh from a geom raises at that point instead
+      return
+    verts, faces = mesh_lib.load_mesh(content, fname, scale)
+    self.meshes[name] = mesh_lib.MeshAsset(name, verts, faces)
+
+  def _find_asset_bytes(self, fname: str):
+    """Locate an asset's bytes: assets dict (with/without meshdir and
+    directory prefixes), then the filesystem relative to base_dir."""
+    cands = [fname, os.path.join(self.meshdir, fname),
+             os.path.basename(fname)]
+    for key in cands:
+      if key in self.assets:
+        content = self.assets[key]
+        return content.encode() if isinstance(content, str) else content
+    for key in cands:
+      path = key
+      if self.base_dir is not None and not os.path.isabs(path):
+        path = os.path.join(self.base_dir, key)
+      if os.path.exists(path):
+        with open(path, 'rb') as f:
+          return f.read()
+    return None
 
   def _parse_compiler(self, elem):
     self.angle = elem.get('angle', self.angle)
@@ -547,6 +599,7 @@ class Compiler:
     if 'autolimits' in elem.attrib:
       self.autolimits = _bool(elem.get('autolimits'))
     self.inertiafromgeom = elem.get('inertiafromgeom', self.inertiafromgeom)
+    self.meshdir = elem.get('meshdir', self.meshdir)
 
   def _parse_option(self, elem, prior: dict = None) -> dict:
     o = prior if prior is not None else dict(
@@ -614,11 +667,13 @@ class Compiler:
   # ---------------- worldbody recursion ----------------
 
   def _parse_body_children(self, elem, bodyid: int, childclass: str):
+    # Two passes: a body's OWN elements are numbered before any
+    # descendant body's, regardless of document position (MJCF allows
+    # <joint> after a nested <body>; the oracle assigns ids by body
+    # order — dog.xml's lumbar chain relies on this).
     for child in elem:
       tag = child.tag
-      if tag == 'body':
-        self._parse_body(child, parentid=bodyid, childclass=childclass)
-      elif tag in ('joint', 'freejoint'):
+      if tag in ('joint', 'freejoint'):
         self._parse_joint(child, bodyid, childclass, free=(tag == 'freejoint'))
       elif tag == 'geom':
         self._parse_geom(child, bodyid, childclass)
@@ -630,6 +685,9 @@ class Compiler:
         self.lights.append(child.get('name', ''))
       elif tag == 'inertial':
         self._parse_inertial(child, bodyid)
+    for child in elem:
+      if child.tag == 'body':
+        self._parse_body(child, parentid=bodyid, childclass=childclass)
 
   def _parse_body(self, elem, parentid: int, childclass: str):
     cc = elem.get('childclass', childclass)
@@ -700,7 +758,9 @@ class Compiler:
         frictionloss=float(a.get('frictionloss', '0')),
         solref=_floats(a.get('solreflimit', '0.02 1'), 2),
         solimp=_floats(a.get('solimplimit', '0.9 0.95 0.001 0.5 2'), 5),
-        margin=float(a.get('margin', '0'))))
+        margin=float(a.get('margin', '0')),
+        springdamper=(_floats(a['springdamper'], 2)
+                      if 'springdamper' in a else None)))
 
   def _parse_geom(self, elem, bodyid: int, childclass: str):
     d = self.defaults.resolve('geom', elem.get('class', childclass))
@@ -723,6 +783,17 @@ class Compiler:
     fr = np.array([1.0, 0.005, 0.0001])
     fr[:friction.size] = friction
     mass = float(a['mass']) if 'mass' in a else None
+    mesh = None
+    if gtype == _G.MESH:
+      mname = a.get('mesh', '')
+      if mname not in self.meshes:
+        raise _MJCFError(f'geom references undefined mesh {mname!r}')
+      mesh = self.meshes[mname]
+      # bake the mesh's center-of-mass / principal-axis frame into the
+      # geom frame (the C compiler's mesh_pos/mesh_quat mechanism)
+      pos = pos + _quat_to_mat(quat) @ mesh.pos
+      quat = _quat_mul(quat, mesh.quat)
+      size = mesh.aabb_halfsize()
     self.geoms.append(_Geom(
         name=a.get('name', f'geom{len(self.geoms)}'),
         gtype=int(gtype), bodyid=bodyid, pos=pos, quat=quat, size=size,
@@ -739,7 +810,8 @@ class Compiler:
         gap=float(a.get('gap', '0')),
         mass=mass, density=float(a.get('density', '1000')),
         rgba=_floats(a.get('rgba', '0.5 0.5 0.5 1'), 4),
-        dataname=a.get('hfield', a.get('mesh', ''))))
+        dataname=a.get('hfield', a.get('mesh', '')),
+        mesh=mesh))
 
   def _parse_site(self, elem, bodyid: int, childclass: str):
     d = self.defaults.resolve('site', elem.get('class', childclass))

@@ -126,6 +126,11 @@ class Model(_Base):
   jnt_bodyid: Tuple[int, ...] = _field(meta=True, default=())
   jnt_limited: Tuple[int, ...] = _field(meta=True, default=())
   jnt_actgravcomp: Tuple[int, ...] = _field(meta=True, default=())
+  # (timeconst, dampratio) per joint; (0, 0) when unset. Resolved by the
+  # calibration pass into jnt_stiffness/dof_damping (oracle semantics:
+  # k = M/(timeconst*dampratio)^2, d = 2M/timeconst, M = 1/dof_invweight0)
+  jnt_springdamper: Tuple[Tuple[float, float], ...] = _field(
+      meta=True, default=())
 
   dof_bodyid: Tuple[int, ...] = _field(meta=True, default=())
   dof_jntid: Tuple[int, ...] = _field(meta=True, default=())
@@ -148,6 +153,13 @@ class Model(_Base):
   hfield_nrow: Tuple[int, ...] = _field(meta=True, default=())
   hfield_ncol: Tuple[int, ...] = _field(meta=True, default=())
   hfield_adr: Tuple[int, ...] = _field(meta=True, default=())
+
+  # meshes: convex-hull vertex sets in the baked (principal inertial)
+  # frame; addressing static, vertex data a device leaf. Used by the
+  # hull narrowphase (support functions) and the renderer.
+  nmesh: int = _field(meta=True, default=0)
+  mesh_vertadr: Tuple[int, ...] = _field(meta=True, default=())
+  mesh_vertnum: Tuple[int, ...] = _field(meta=True, default=())
 
   site_bodyid: Tuple[int, ...] = _field(meta=True, default=())
   site_type: Tuple[int, ...] = _field(meta=True, default=())
@@ -246,6 +258,8 @@ class Model(_Base):
 
   hfield_size: jax.Array = None     # (nhfield, 4) rx ry ztop zbottom
   hfield_data: jax.Array = None     # (sum nrow*ncol,) normalized [0,1]
+
+  mesh_vert: jax.Array = None       # (sum mesh_vertnum, 3) hull verts
 
   site_pos: jax.Array = None
   site_quat: jax.Array = None

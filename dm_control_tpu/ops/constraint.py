@@ -372,72 +372,102 @@ def make_rows(m: Model, d: Data) -> _Rows:
             m.eq_solref[e], m.eq_solimp[e], m.tendon_invweight0[t1],
             1.0, act)
 
-  # ---------------- dof friction loss ----------------
+  # ---------------- stack scalar rows collected so far ----------------
+  # (the equality loop above appends per-row; limit/frictionloss rows
+  # below are assembled as vectorized blocks directly into parts_*)
+  vec_parts = []   # list of dicts appended after the equality block
+
+  # ---------------- dof friction loss (vectorized block) -------------
   if not (disable & constants.DisableBit.FRICTIONLOSS):
-    for v in range(m.nv):
-      # static presence: a dof participates if its frictionloss can be
-      # nonzero; the compiler leaves it in the budget only when set
-      if not _dof_has_frictionloss(m, v):
-        continue
-      J = jnp.zeros(nv, dtype=dtype).at[v].set(1.0)
-      rows_J.append(J)
-      rows_pos.append(jnp.zeros((), dtype=dtype))
-      rows_margin.append(0.0 * one)
-      rows_solref.append(jnp.array([0.02, 1.0], dtype=dtype))
-      rows_solimp.append(
-          jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype))
-      rows_iw.append(m.dof_invweight0[v])
-      rows_eq.append(2.0)  # 2.0 marks a friction row (see fwd_constraint)
-      rows_active.append(one)
-      rows_floss.append(m.dof_frictionloss[v] * one)
+    fl_v = np.asarray([v for v in range(m.nv)
+                       if _dof_has_frictionloss(m, v)], dtype=np.int32)
+    k = len(fl_v)
+    if k:
+      Jblk = np.zeros((nv, k))
+      Jblk[fl_v, np.arange(k)] = 1.0
+      vec_parts.append(dict(
+          J=jnp.asarray(Jblk, dtype=dtype),
+          pos=jnp.zeros(k, dtype=dtype),
+          margin=jnp.zeros(k, dtype=dtype),
+          solref=jnp.tile(jnp.array([0.02, 1.0], dtype=dtype), (k, 1)),
+          solimp=jnp.tile(
+              jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype),
+              (k, 1)),
+          iw=m.dof_invweight0[fl_v].astype(dtype),
+          eq=jnp.full(k, 2.0, dtype=dtype),  # 2.0 marks a friction row
+          active=jnp.ones(k, dtype=dtype),
+          floss=m.dof_frictionloss[fl_v].astype(dtype)))
 
-  # ---------------- joint limits ----------------
+  # ---------------- joint limits (vectorized blocks) ------------------
   if not (disable & constants.DisableBit.LIMIT):
-    for j in range(m.njnt):
-      if not m.jnt_limited[j]:
-        continue
-      jt = m.jnt_type[j]
-      qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-      if jt in (_J.HINGE, _J.SLIDE):
-        lo = d.qpos[qadr] - m.jnt_range[j, 0]
-        hi = m.jnt_range[j, 1] - d.qpos[qadr]
-        use_lo = lo < hi
-        dist = jnp.minimum(lo, hi)
-        sign = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
-        J = jnp.zeros(nv, dtype=dtype).at[vadr].set(1.0) * sign
-        active = (dist < m.jnt_margin[j]).astype(dtype)
-        add(J, dist, m.jnt_margin[j], m.jnt_solref[j], m.jnt_solimp[j],
-            m.dof_invweight0[vadr], 0.0, active)
-      elif jt == _J.BALL:
-        # limit on total rotation angle
-        q = d.qpos[qadr:qadr + 4]
-        axisangle = mops.quat_to_vel(q)
-        angle = jnp.linalg.norm(axisangle)
-        axis = axisangle / jnp.maximum(angle, 1e-12)
-        limit = jnp.maximum(jnp.abs(m.jnt_range[j, 0]),
-                            jnp.abs(m.jnt_range[j, 1]))
-        dist = limit - angle
-        J = jnp.zeros(nv, dtype=dtype)
-        for i in range(3):
-          J = J.at[vadr + i].set(-axis[i])
-        active = (dist < m.jnt_margin[j]).astype(dtype)
-        add(J, dist, m.jnt_margin[j], m.jnt_solref[j], m.jnt_solimp[j],
-            m.dof_invweight0[vadr], 0.0, active)
-
-  # ---------------- tendon limits ----------------
-  if not (disable & constants.DisableBit.LIMIT):
-    for t in range(m.ntendon):
-      if not m.tendon_limited[t]:
-        continue
-      lo = d.ten_length[t] - m.tendon_range[t, 0]
-      hi = m.tendon_range[t, 1] - d.ten_length[t]
-      use_lo = lo < hi
+    lim = [j for j in range(m.njnt) if m.jnt_limited[j]]
+    sl_j = np.asarray([j for j in lim
+                       if m.jnt_type[j] in (_J.HINGE, _J.SLIDE)],
+                      dtype=np.int32)
+    ball_j = np.asarray([j for j in lim if m.jnt_type[j] == _J.BALL],
+                        dtype=np.int32)
+    if len(sl_j):
+      qadr = np.asarray([m.jnt_qposadr[j] for j in sl_j])
+      vadr = np.asarray([m.jnt_dofadr[j] for j in sl_j])
+      k = len(sl_j)
+      q = d.qpos[qadr]
+      lo = q - m.jnt_range[sl_j, 0]
+      hi = m.jnt_range[sl_j, 1] - q
       dist = jnp.minimum(lo, hi)
-      sign = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
-      J = d.ten_J[t] * sign
-      active = (dist < m.tendon_margin[t]).astype(dtype)
-      add(J, dist, m.tendon_margin[t], m.tendon_solref_lim[t],
-          m.tendon_solimp_lim[t], m.tendon_invweight0[t], 0.0, active)
+      sign = jnp.where(lo < hi, 1.0, -1.0).astype(dtype)
+      onehot = np.zeros((nv, k))
+      onehot[vadr, np.arange(k)] = 1.0
+      Jblk = jnp.asarray(onehot, dtype=dtype) * sign[None, :]
+      vec_parts.append(dict(
+          J=Jblk, pos=dist, margin=m.jnt_margin[sl_j].astype(dtype),
+          solref=m.jnt_solref[sl_j].astype(dtype),
+          solimp=m.jnt_solimp[sl_j].astype(dtype),
+          iw=m.dof_invweight0[vadr].astype(dtype),
+          eq=jnp.zeros(k, dtype=dtype),
+          active=(dist < m.jnt_margin[sl_j]).astype(dtype),
+          floss=jnp.zeros(k, dtype=dtype)))
+    if len(ball_j):
+      # limit on total rotation angle
+      qadr = np.asarray([m.jnt_qposadr[j] for j in ball_j])
+      vadr = np.asarray([m.jnt_dofadr[j] for j in ball_j])
+      k = len(ball_j)
+      q4 = d.qpos[qadr[:, None] + np.arange(4)]
+      axisangle = mops.quat_to_vel(q4)                    # (k, 3)
+      angle = jnp.linalg.norm(axisangle, axis=-1)
+      axis = axisangle / jnp.maximum(angle, 1e-12)[:, None]
+      limit = jnp.maximum(jnp.abs(m.jnt_range[ball_j, 0]),
+                          jnp.abs(m.jnt_range[ball_j, 1]))
+      dist = limit - angle
+      Jblk = jnp.zeros((nv, k), dtype=dtype).at[
+          vadr[:, None] + np.arange(3), np.arange(k)[:, None]].set(-axis)
+      vec_parts.append(dict(
+          J=Jblk, pos=dist, margin=m.jnt_margin[ball_j].astype(dtype),
+          solref=m.jnt_solref[ball_j].astype(dtype),
+          solimp=m.jnt_solimp[ball_j].astype(dtype),
+          iw=m.dof_invweight0[vadr].astype(dtype),
+          eq=jnp.zeros(k, dtype=dtype),
+          active=(dist < m.jnt_margin[ball_j]).astype(dtype),
+          floss=jnp.zeros(k, dtype=dtype)))
+
+  # ---------------- tendon limits (vectorized block) ------------------
+  if not (disable & constants.DisableBit.LIMIT):
+    tl = np.asarray([t for t in range(m.ntendon) if m.tendon_limited[t]],
+                    dtype=np.int32)
+    if len(tl):
+      k = len(tl)
+      lo = d.ten_length[tl] - m.tendon_range[tl, 0]
+      hi = m.tendon_range[tl, 1] - d.ten_length[tl]
+      dist = jnp.minimum(lo, hi)
+      sign = jnp.where(lo < hi, 1.0, -1.0).astype(dtype)
+      Jblk = d.ten_J[tl].T * sign[None, :]
+      vec_parts.append(dict(
+          J=Jblk, pos=dist, margin=m.tendon_margin[tl].astype(dtype),
+          solref=m.tendon_solref_lim[tl].astype(dtype),
+          solimp=m.tendon_solimp_lim[tl].astype(dtype),
+          iw=m.tendon_invweight0[tl].astype(dtype),
+          eq=jnp.zeros(k, dtype=dtype),
+          active=(dist < m.tendon_margin[tl]).astype(dtype),
+          floss=jnp.zeros(k, dtype=dtype)))
 
   # ---------------- stack non-contact rows ----------------
   # J parts are stacked/concatenated along the LAST axis -> (nv, nefc)
@@ -458,6 +488,18 @@ def make_rows(m: Model, d: Data) -> _Rows:
     parts_active.append(jnp.stack(rows_active))
     parts_floss.append(jnp.stack(rows_floss))
     parts_mu.append(jnp.zeros(len(rows_J), dtype=dtype))
+  for vp in vec_parts:
+    k = vp['J'].shape[-1]
+    parts_J.append(vp['J'])
+    parts_pos.append(vp['pos'])
+    parts_margin.append(vp['margin'])
+    parts_solref.append(vp['solref'])
+    parts_solimp.append(vp['solimp'])
+    parts_iw.append(vp['iw'])
+    parts_eq.append(vp['eq'])
+    parts_active.append(vp['active'])
+    parts_floss.append(vp['floss'])
+    parts_mu.append(jnp.zeros(k, dtype=dtype))
 
   # ---------------- contacts, vectorized by condim -------------------
   # All slot-level arrays are laid out (nv, slots): the trailing slot

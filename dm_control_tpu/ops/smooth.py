@@ -18,8 +18,11 @@ dm_control/mujoco/engine.py step/forward pipeline).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dm_control_tpu.models import constants
 from dm_control_tpu.models.types import Data, Model
@@ -34,62 +37,104 @@ _J = constants.JointType
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
+def _fk_schedule(body_treelevel, body_parentid, body_jntadr, body_jntnum,
+                 jnt_type):
+  """Static level schedule for the vectorized FK sweep.
+
+  Bodies at the same tree depth have independent updates, so the sweep is
+  O(depth) traced vector ops instead of O(nbody) unrolled scalar chains —
+  this is what keeps cold-compile time flat for wide models
+  (humanoid_CMU: 31 bodies / depth 8; soccer scenes: hundreds of bodies).
+
+  Returns [(ids, parents, slots)] per level; slots[s] maps joint type ->
+  (local lane indices, joint ids) for the s-th joint of each body.
+  """
+  bylevel = {}
+  for b in range(1, len(body_treelevel)):
+    bylevel.setdefault(body_treelevel[b], []).append(b)
+  out = []
+  for lvl in sorted(bylevel):
+    ids = np.asarray(bylevel[lvl], dtype=np.int32)
+    parents = np.asarray([body_parentid[b] for b in ids], dtype=np.int32)
+    maxj = max((body_jntnum[b] for b in ids), default=0)
+    slots = []
+    for s in range(maxj):
+      groups = {}
+      for li, b in enumerate(ids):
+        if s < body_jntnum[b]:
+          jid = body_jntadr[b] + s
+          groups.setdefault(jnt_type[jid], ([], []))
+          groups[jnt_type[jid]][0].append(li)
+          groups[jnt_type[jid]][1].append(jid)
+      slots.append({
+          t: (np.asarray(l, dtype=np.int32), np.asarray(j, dtype=np.int32))
+          for t, (l, j) in groups.items()})
+    out.append((ids, parents, slots))
+  return out
+
+
 def kinematics(m: Model, d: Data) -> Data:
-  """Forward kinematics: qpos -> body/geom/site frames + joint anchors."""
+  """Forward kinematics: qpos -> body/geom/site frames + joint anchors.
+
+  Level-parallel sweep: all bodies at one tree depth update in one set of
+  vector ops (reference semantics: mj_kinematics, consumed through
+  dm_control/mujoco/engine.py forward/step)."""
   qpos = d.qpos
   dtype = qpos.dtype
-  zero3 = jnp.zeros(3, dtype=dtype)
-  unitq = jnp.array([1.0, 0, 0, 0], dtype=dtype)
 
-  xpos = [zero3]
-  xquat = [unitq]
-  xanchor = [None] * m.njnt
-  xaxis = [None] * m.njnt
+  xpos = jnp.zeros((m.nbody, 3), dtype=dtype)
+  xquat = jnp.zeros((m.nbody, 4), dtype=dtype).at[:, 0].set(1.0)
+  xanchor = jnp.zeros((m.njnt, 3), dtype=dtype)
+  xaxis = jnp.zeros((m.njnt, 3), dtype=dtype)
 
-  for b in range(1, m.nbody):
-    p = m.body_parentid[b]
-    pos = xpos[p] + mops.rot_vec_quat(m.body_pos[b], xquat[p])
-    quat = mops.mul_quat(xquat[p], m.body_quat[b])
-    jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
-    for ji in range(jadr, jadr + jnum):
-      jt = m.jnt_type[ji]
-      qadr = m.jnt_qposadr[ji]
-      if jt == _J.FREE:
-        pos = qpos[qadr:qadr + 3]
-        quat = mops.normalize_quat(qpos[qadr + 3:qadr + 7])
-        xanchor[ji] = pos
-        xaxis[ji] = mops.rot_vec_quat(m.jnt_axis[ji], quat)
-      else:
-        anchor = mops.rot_vec_quat(m.jnt_pos[ji], quat) + pos
-        axis = mops.rot_vec_quat(m.jnt_axis[ji], quat)
-        xanchor[ji] = anchor
-        xaxis[ji] = axis
-        if jt == _J.BALL:
-          qloc = mops.normalize_quat(qpos[qadr:qadr + 4])
-          quat = mops.mul_quat(quat, qloc)
-          pos = anchor - mops.rot_vec_quat(m.jnt_pos[ji], quat)
-        elif jt == _J.SLIDE:
-          pos = pos + axis * (qpos[qadr] - m.qpos0[qadr])
-        else:  # HINGE
-          qloc = mops.axis_angle_to_quat(
-              m.jnt_axis[ji], qpos[qadr] - m.qpos0[qadr])
-          quat = mops.mul_quat(quat, qloc)
-          pos = anchor - mops.rot_vec_quat(m.jnt_pos[ji], quat)
-    xpos.append(pos)
-    xquat.append(quat)
+  schedule = _fk_schedule(m.body_treelevel, m.body_parentid, m.body_jntadr,
+                          m.body_jntnum, m.jnt_type)
+  qposadr = np.asarray(m.jnt_qposadr, dtype=np.int32)
+  for ids, parents, slots in schedule:
+    pq = xquat[parents]
+    pos = xpos[parents] + mops.rot_vec_quat(m.body_pos[ids], pq)
+    quat = mops.mul_quat(pq, m.body_quat[ids])
+    for slot in slots:
+      for jt, (li, jid) in slot.items():
+        qadr = qposadr[jid]
+        if jt == _J.FREE:
+          fpos = qpos[qadr[:, None] + np.arange(3)]
+          fquat = mops.normalize_quat(
+              qpos[qadr[:, None] + 3 + np.arange(4)])
+          pos = pos.at[li].set(fpos)
+          quat = quat.at[li].set(fquat)
+          xanchor = xanchor.at[jid].set(fpos)
+          xaxis = xaxis.at[jid].set(
+              mops.rot_vec_quat(m.jnt_axis[jid], fquat))
+        else:
+          jpos = m.jnt_pos[jid]
+          jaxis = m.jnt_axis[jid]
+          q_l = quat[li]
+          anchor = mops.rot_vec_quat(jpos, q_l) + pos[li]
+          axis = mops.rot_vec_quat(jaxis, q_l)
+          xanchor = xanchor.at[jid].set(anchor)
+          xaxis = xaxis.at[jid].set(axis)
+          if jt == _J.SLIDE:
+            pos = pos.at[li].add(
+                axis * (qpos[qadr] - m.qpos0[qadr])[:, None])
+          elif jt == _J.BALL:
+            qloc = mops.normalize_quat(qpos[qadr[:, None] + np.arange(4)])
+            qn = mops.mul_quat(q_l, qloc)
+            quat = quat.at[li].set(qn)
+            pos = pos.at[li].set(anchor - mops.rot_vec_quat(jpos, qn))
+          else:  # HINGE
+            qloc = mops.axis_angle_to_quat(
+                jaxis, qpos[qadr] - m.qpos0[qadr])
+            qn = mops.mul_quat(q_l, qloc)
+            quat = quat.at[li].set(qn)
+            pos = pos.at[li].set(anchor - mops.rot_vec_quat(jpos, qn))
+    xpos = xpos.at[ids].set(pos)
+    xquat = xquat.at[ids].set(quat)
 
-  xpos = jnp.stack(xpos)
-  xquat = jnp.stack(xquat)
   xmat = mops.quat_to_mat(xquat)
   xipos = xpos + mops.rot_vec_quat(m.body_ipos, xquat)
   ximat = mops.quat_to_mat(mops.mul_quat(xquat, m.body_iquat))
-
-  if m.njnt:
-    xanchor = jnp.stack(xanchor)
-    xaxis = jnp.stack(xaxis)
-  else:
-    xanchor = jnp.zeros((0, 3), dtype=dtype)
-    xaxis = jnp.zeros((0, 3), dtype=dtype)
 
   gb = jnp.array(m.geom_bodyid, dtype=jnp.int32)
   geom_xpos = xpos[gb] + mops.rot_vec_quat(m.geom_pos, xquat[gb])
@@ -132,37 +177,48 @@ def com_pos(m: Model, d: Data) -> Data:
       -1, -2)
   cinert = mops.spatial_inertia(m.body_mass, inert3, offset)
 
-  # com-frame dof axes
-  cdof = [None] * m.nv
-  for ji in range(m.njnt):
-    jt = m.jnt_type[ji]
-    b = m.jnt_bodyid[ji]
-    vadr = m.jnt_dofadr[ji]
-    origin = subtree_com[m.body_rootid[b]]
-    if jt == _J.FREE:
-      for i in range(3):
-        e = jnp.zeros(3, dtype=dtype).at[i].set(1.0)
-        cdof[vadr + i] = jnp.concatenate([jnp.zeros(3, dtype=dtype), e])
-      offs = d.xanchor[ji] - origin
-      for i in range(3):
-        axis = d.xmat[b, :, i]
-        cdof[vadr + 3 + i] = jnp.concatenate(
-            [axis, jnp.cross(offs, axis)])
-    elif jt == _J.BALL:
-      offs = d.xanchor[ji] - origin
-      for i in range(3):
-        axis = d.xmat[b, :, i]
-        cdof[vadr + i] = jnp.concatenate([axis, jnp.cross(offs, axis)])
-    elif jt == _J.SLIDE:
-      cdof[vadr] = jnp.concatenate(
-          [jnp.zeros(3, dtype=dtype), d.xaxis[ji]])
-    else:  # HINGE
-      offs = d.xanchor[ji] - origin
-      axis = d.xaxis[ji]
-      cdof[vadr] = jnp.concatenate([axis, jnp.cross(offs, axis)])
-  cdof = (jnp.stack(cdof) if m.nv else jnp.zeros((0, 6), dtype=dtype))
+  # com-frame dof axes, fully vectorized over nv: each dof's axis source
+  # (constant e_k for free translations, an xmat column for rotational
+  # free/ball dofs, xaxis for slide/hinge) is a static per-dof selection,
+  # combined branch-free with 0/1 weights computed at trace time.
+  if m.nv:
+    sched = _cdof_schedule(m.nv, m.dof_jntid, m.jnt_type, m.jnt_bodyid,
+                           m.jnt_dofadr, m.body_rootid)
+    jids, bods, roots, col, w_slide, w_col, w_hinge, ek = sched
+    axis_col = d.xmat[bods, :, col]                   # (nv, 3)
+    axis_jnt = d.xaxis[jids]
+    # angular part: the rotation axis (zero for translational dofs)
+    ang = (jnp.asarray(w_col, dtype=dtype)[:, None] * axis_col +
+           jnp.asarray(w_hinge, dtype=dtype)[:, None] * axis_jnt)
+    offs = d.xanchor[jids] - subtree_com[roots]
+    # linear part: e_k for free translations, cross(offs, axis) for
+    # rotational dofs (ang is already zero elsewhere), axis for slides
+    lin = (jnp.asarray(ek, dtype=dtype) + jnp.cross(offs, ang) +
+           jnp.asarray(w_slide, dtype=dtype)[:, None] * axis_jnt)
+    cdof = jnp.concatenate([ang, lin], axis=-1).astype(dtype)
+  else:
+    cdof = jnp.zeros((0, 6), dtype=dtype)
 
   return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
+
+
+@functools.lru_cache(maxsize=64)
+def _cdof_schedule(nv, dof_jntid, jnt_type, jnt_bodyid, jnt_dofadr,
+                   body_rootid):
+  """Static per-dof tables for the vectorized cdof computation."""
+  jids = np.asarray(dof_jntid, dtype=np.int32)
+  bods = np.asarray([jnt_bodyid[j] for j in jids], dtype=np.int32)
+  roots = np.asarray([body_rootid[b] for b in bods], dtype=np.int32)
+  t = np.asarray([jnt_type[j] for j in jids])
+  k = np.arange(nv) - np.asarray([jnt_dofadr[j] for j in jids])
+  free_trans = (t == _J.FREE) & (k < 3)          # constant e_k, no angular
+  rot_col = ((t == _J.FREE) & (k >= 3)) | (t == _J.BALL)  # xmat column
+  slide = t == _J.SLIDE                          # xaxis linear only
+  hinge = t == _J.HINGE                          # xaxis + cross
+  col = np.where(t == _J.FREE, k - 3, k).clip(0, 2).astype(np.int32)
+  ek = np.where(free_trans[:, None], np.eye(3)[k.clip(0, 2)], 0.0)
+  return (jids, bods, roots, col, slide.astype(np.float64),
+          rot_col.astype(np.float64), hinge.astype(np.float64), ek)
 
 
 def com_vel(m: Model, d: Data) -> Data:
@@ -339,44 +395,73 @@ def tendon_vel(m: Model, d: Data) -> Data:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
+def _jnt_type_groups(njnt, jnt_type, jnt_qposadr, jnt_dofadr):
+  """Static (jids, qadr, vadr) triples for scalar / ball / free joints."""
+  def grp(pred):
+    jids = np.asarray([j for j in range(njnt) if pred(jnt_type[j])],
+                      dtype=np.int32)
+    return (jids,
+            np.asarray([jnt_qposadr[j] for j in jids], dtype=np.int32),
+            np.asarray([jnt_dofadr[j] for j in jids], dtype=np.int32))
+  return (grp(lambda t: t in (_J.HINGE, _J.SLIDE)),
+          grp(lambda t: t == _J.BALL),
+          grp(lambda t: t == _J.FREE))
+
+
+@functools.lru_cache(maxsize=64)
+def _trn_schedule(nu, nv, actuator_trntype, actuator_trnid, jnt_type,
+                  jnt_qposadr, jnt_dofadr):
+  """Static transmission tables: scalar-joint / wide-joint / tendon."""
+  scal_u, scal_q, scal_v = [], [], []
+  wide_u, wide_v, wide_n = [], [], []
+  ten_u, ten_t = [], []
+  for u in range(nu):
+    trn = actuator_trntype[u]
+    tid = actuator_trnid[u][0]
+    if trn == constants.TrnType.JOINT:
+      jt = jnt_type[tid]
+      if jt in (_J.HINGE, _J.SLIDE):
+        scal_u.append(u)
+        scal_q.append(jnt_qposadr[tid])
+        scal_v.append(jnt_dofadr[tid])
+      else:
+        wide_u.append(u)
+        wide_v.append(jnt_dofadr[tid])
+        wide_n.append(3 if jt == _J.BALL else 6)
+    elif trn == constants.TrnType.TENDON:
+      ten_u.append(u)
+      ten_t.append(tid)
+    else:
+      raise NotImplementedError(f'transmission type {trn}')
+  arr = lambda x: np.asarray(x, dtype=np.int32)
+  return (arr(scal_u), arr(scal_q), arr(scal_v),
+          arr(wide_u), arr(wide_v), tuple(wide_n), arr(ten_u), arr(ten_t))
+
+
 def transmission(m: Model, d: Data) -> Data:
-  """Actuator lengths and moment rows."""
+  """Actuator lengths and moment rows (vectorized by transmission kind)."""
   if not m.nu:
     return d
   dtype = d.qpos.dtype
-  lengths = []
-  moments = []
-  for u in range(m.nu):
-    trn = m.actuator_trntype[u]
-    tid = m.actuator_trnid[u][0]
-    gear0 = m.actuator_gear[u, 0]
-    if trn == constants.TrnType.JOINT:
-      jt = m.jnt_type[tid]
-      qadr, vadr = m.jnt_qposadr[tid], m.jnt_dofadr[tid]
-      if jt in (_J.HINGE, _J.SLIDE):
-        lengths.append(d.qpos[qadr] * gear0)
-        moments.append(jnp.zeros(m.nv, dtype=dtype).at[vadr].set(gear0))
-      elif jt == _J.BALL:
-        # torque about the 3 local rotation axes, weighted by gear[:3]
-        lengths.append(jnp.zeros((), dtype=dtype))
-        mom = jnp.zeros(m.nv, dtype=dtype)
-        for i in range(3):
-          mom = mom.at[vadr + i].set(m.actuator_gear[u, i])
-        moments.append(mom)
-      else:  # FREE
-        lengths.append(jnp.zeros((), dtype=dtype))
-        mom = jnp.zeros(m.nv, dtype=dtype)
-        for i in range(6):
-          mom = mom.at[vadr + i].set(m.actuator_gear[u, i])
-        moments.append(mom)
-    elif trn == constants.TrnType.TENDON:
-      lengths.append(d.ten_length[tid] * gear0)
-      moments.append(d.ten_J[tid] * gear0)
-    else:
-      raise NotImplementedError(f'transmission type {trn}')
-  return d.replace(
-      actuator_length=jnp.stack(lengths),
-      actuator_moment=jnp.stack(moments))
+  (scal_u, scal_q, scal_v, wide_u, wide_v, wide_n, ten_u,
+   ten_t) = _trn_schedule(m.nu, m.nv, m.actuator_trntype, m.actuator_trnid,
+                          m.jnt_type, m.jnt_qposadr, m.jnt_dofadr)
+  lengths = jnp.zeros(m.nu, dtype=dtype)
+  moments = jnp.zeros((m.nu, m.nv), dtype=dtype)
+  if len(scal_u):
+    gear0 = m.actuator_gear[scal_u, 0]
+    lengths = lengths.at[scal_u].set(d.qpos[scal_q] * gear0)
+    moments = moments.at[scal_u, scal_v].set(gear0)
+  for u, vadr, n in zip(wide_u, wide_v, wide_n):
+    # ball/free transmissions: torque about n local axes via gear[:n]
+    moments = moments.at[u, vadr:vadr + n].set(
+        m.actuator_gear[u, :n].astype(dtype))
+  if len(ten_u):
+    gear0 = m.actuator_gear[ten_u, 0]
+    lengths = lengths.at[ten_u].set(d.ten_length[ten_t] * gear0)
+    moments = moments.at[ten_u].set(d.ten_J[ten_t] * gear0[:, None])
+  return d.replace(actuator_length=lengths, actuator_moment=moments)
 
 
 # ---------------------------------------------------------------------------
@@ -391,23 +476,30 @@ def passive(m: Model, d: Data) -> Data:
   if m.opt.disableflags & constants.DisableBit.PASSIVE:
     return d.replace(qfrc_passive=qfrc)
 
-  # joint springs
-  for ji in range(m.njnt):
-    jt = m.jnt_type[ji]
-    qadr, vadr = m.jnt_qposadr[ji], m.jnt_dofadr[ji]
-    k = m.jnt_stiffness[ji]
-    if jt in (_J.HINGE, _J.SLIDE):
-      qfrc = qfrc.at[vadr].add(-k * (d.qpos[qadr] - m.qpos_spring[qadr]))
-    elif jt == _J.BALL:
-      dif = mops.quat_sub(d.qpos[qadr:qadr + 4],
-                          m.qpos_spring[qadr:qadr + 4])
-      qfrc = qfrc.at[vadr:vadr + 3].add(-k * dif)
-    else:  # FREE
-      dif = d.qpos[qadr:qadr + 3] - m.qpos_spring[qadr:qadr + 3]
-      qfrc = qfrc.at[vadr:vadr + 3].add(-k * dif)
-      difq = mops.quat_sub(d.qpos[qadr + 3:qadr + 7],
-                           m.qpos_spring[qadr + 3:qadr + 7])
-      qfrc = qfrc.at[vadr + 3:vadr + 6].add(-k * difq)
+  # joint springs, vectorized by joint-type group (static partition)
+  scalar, ball, free = _jnt_type_groups(
+      m.njnt, m.jnt_type, m.jnt_qposadr, m.jnt_dofadr)
+  if len(scalar[0]):
+    jids, qadr, vadr = scalar
+    k = m.jnt_stiffness[jids]
+    qfrc = qfrc.at[vadr].add(
+        -k * (d.qpos[qadr] - m.qpos_spring[qadr]))
+  if len(ball[0]):
+    jids, qadr, vadr = ball
+    k = m.jnt_stiffness[jids]
+    q4 = qadr[:, None] + np.arange(4)
+    dif = mops.quat_sub(d.qpos[q4], m.qpos_spring[q4])
+    qfrc = qfrc.at[vadr[:, None] + np.arange(3)].add(-k[:, None] * dif)
+  if len(free[0]):
+    jids, qadr, vadr = free
+    k = m.jnt_stiffness[jids]
+    q3 = qadr[:, None] + np.arange(3)
+    dif = d.qpos[q3] - m.qpos_spring[q3]
+    qfrc = qfrc.at[vadr[:, None] + np.arange(3)].add(-k[:, None] * dif)
+    q4 = qadr[:, None] + 3 + np.arange(4)
+    difq = mops.quat_sub(d.qpos[q4], m.qpos_spring[q4])
+    qfrc = qfrc.at[vadr[:, None] + 3 + np.arange(3)].add(
+        -k[:, None] * difq)
 
   # dof damping
   qfrc = qfrc - m.dof_damping * d.qvel
