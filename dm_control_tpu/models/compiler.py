@@ -49,7 +49,23 @@ _PAIR_NCON = {
     (_G.HFIELD, _G.SPHERE): 1,
     (_G.HFIELD, _G.CAPSULE): 2,
     (_G.HFIELD, _G.ELLIPSOID): 1,
+    (_G.HFIELD, _G.CYLINDER): 4,
     (_G.HFIELD, _G.BOX): 4,
+    # convex pairs routed through the MPR kernel (ops/mpr.py): one
+    # contact per pair, the C engine's libccd behavior for these
+    (_G.SPHERE, _G.MESH): 1,
+    (_G.CAPSULE, _G.ELLIPSOID): 1,
+    (_G.CAPSULE, _G.MESH): 1,
+    (_G.ELLIPSOID, _G.ELLIPSOID): 1,
+    (_G.ELLIPSOID, _G.CYLINDER): 1,
+    (_G.ELLIPSOID, _G.BOX): 1,
+    (_G.ELLIPSOID, _G.MESH): 1,
+    (_G.CYLINDER, _G.CYLINDER): 1,
+    (_G.CYLINDER, _G.BOX): 1,
+    (_G.CYLINDER, _G.MESH): 1,
+    (_G.BOX, _G.MESH): 1,
+    (_G.MESH, _G.MESH): 1,
+    (_G.PLANE, _G.MESH): 4,
 }
 
 _SENSOR_INFO = {

@@ -19,6 +19,7 @@ _DOMAIN_NAMES = [
     'ball_in_cup',
     'cartpole',
     'cheetah',
+    'dog',
     'finger',
     'fish',
     'hopper',

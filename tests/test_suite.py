@@ -12,26 +12,21 @@ import pytest
 from dm_control_tpu import suite
 
 # Every registered task is swept, including the benchmark flagships
-# (humanoid walk/run, swimmer15); the persistent compilation cache
-# keeps warm runs affordable on 1-core hosts. DMC_TPU_FAST_TESTS=1
-# skips the heaviest compiles for quick local iteration.
-# humanoid_CMU (56 dof) and swimmer15 (15-link chain) are gated by
-# default: their cold XLA compiles take 45+ minutes on a 1-core host
-# (deep sequential kinematic chains / wide unrolled factorizations).
-# Run with DMC_TPU_FULL_TESTS=1; the persistent .jax_cache makes
-# subsequent runs cheap. Both models have oracle-parity coverage of
-# their physics regardless (swimmer6 shares every code path with
-# swimmer15).
+# (humanoid walk/run, swimmer15, humanoid_CMU, dog); the persistent
+# compilation cache keeps warm runs affordable on 1-core hosts.
+# DMC_TPU_FAST_TESTS=1 skips the heaviest compiles for quick local
+# iteration. (humanoid_CMU cold-compiles in ~2.5 min and swimmer15 in
+# ~1 min since the level-parallel FK/constraint vectorization — they
+# are no longer gated.)
 _HEAVY = {('humanoid', 'walk'), ('humanoid', 'run'),
           ('humanoid', 'run_pure_state'),
-          ('cartpole', 'three_poles')}
-_GATED = {('swimmer', 'swimmer15')}
-_GATED_DOMAINS = {'humanoid_CMU'}
+          ('cartpole', 'three_poles'),
+          ('humanoid_CMU', 'stand'), ('humanoid_CMU', 'walk'),
+          ('humanoid_CMU', 'run'), ('swimmer', 'swimmer15')} | {
+              ('dog', t) for t in
+              ('stand', 'walk', 'trot', 'run', 'fetch')}
 _FAST = bool(os.environ.get('DMC_TPU_FAST_TESTS'))
-_FULL = bool(os.environ.get('DMC_TPU_FULL_TESTS'))
-_ALL = [t for t in suite.ALL_TASKS
-        if not (_FAST and t in _HEAVY)
-        and (_FULL or (t not in _GATED and t[0] not in _GATED_DOMAINS))]
+_ALL = [t for t in suite.ALL_TASKS if not (_FAST and t in _HEAVY)]
 
 
 def _uniform_policy(spec, rng):
