@@ -10,4 +10,7 @@ from dm_control_tpu.composer.entity import (Entity, FreePropObservableMixin,
 from dm_control_tpu.composer.environment import (Environment,
                                                  EpisodeInitializationError,
                                                  HOOK_NAMES)
+from dm_control_tpu.composer.robot import Robot
 from dm_control_tpu.composer.task import NullTask, Task
+
+SENSOR_SITES_GROUP = 4  # reference composer/constants.py:19

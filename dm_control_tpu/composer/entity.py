@@ -76,8 +76,12 @@ class Entity(abc.ABC):
     self._post_init_hooks = []
     self._parent = None
     self._attached = []
+    # reference entity.py:212-227: every entity accepts
+    # `observable_options`, applied after _build_observables
+    observable_options = kwargs.pop('observable_options', None)
     self._build(*args, **kwargs)
     self._observables = self._build_observables()
+    self._observables.set_options(observable_options)
 
   # ---------------- construction protocol ----------------
   @abc.abstractmethod
@@ -119,9 +123,17 @@ class Entity(abc.ABC):
     pass
 
   # ---------------- attachment ----------------
+  @property
+  def attachment_site(self):
+    """Default site other entities attach onto (reference
+    entity.py:300-310); None = the model's worldbody."""
+    return None
+
   def attach(self, entity: 'Entity',
              attach_site=None) -> mjcf.Element:
     """Attaches a child entity; returns the attachment frame."""
+    if attach_site is None:
+      attach_site = self.attachment_site
     frame = self.mjcf_model.attach(entity.mjcf_model, site=attach_site)
     entity._parent = self
     entity._attachment_frame = frame

@@ -155,9 +155,17 @@ class MJCFCamera(Observable):
   def height(self):
     return self._height
 
+  @height.setter
+  def height(self, value):
+    self._height = int(value)
+
   @property
   def width(self):
     return self._width
+
+  @width.setter
+  def width(self, value):
+    self._width = int(value)
 
   def _callable(self, physics):
     name = self._camera_element.full_identifier

@@ -70,7 +70,8 @@ class _BinaryOperation(Variation):
     self._left = left
     self._right = right
 
-  def __call__(self, initial_value, current_value, random_state):
+  def __call__(self, initial_value=None, current_value=None,
+               random_state=None):
     left = _evaluate(self._left, initial_value, current_value,
                      random_state)
     right = _evaluate(self._right, initial_value, current_value,
@@ -84,7 +85,8 @@ class _UnaryOperation(Variation):
     self._op = op
     self._operand = operand
 
-  def __call__(self, initial_value, current_value, random_state):
+  def __call__(self, initial_value=None, current_value=None,
+               random_state=None):
     return self._op(_evaluate(self._operand, initial_value,
                               current_value, random_state))
 
@@ -95,7 +97,8 @@ class _GetItemOperation(Variation):
     self._variation = variation
     self._index = index
 
-  def __call__(self, initial_value, current_value, random_state):
+  def __call__(self, initial_value=None, current_value=None,
+               random_state=None):
     return np.asarray(_evaluate(
         self._variation, initial_value, current_value,
         random_state))[self._index]

@@ -26,7 +26,8 @@ class Distribution(base.Variation):
               for k, v in self._kwargs.items()}
     return args, kwargs
 
-  def __call__(self, initial_value, current_value, random_state):
+  def __call__(self, initial_value=None, current_value=None,
+               random_state=None):
     args, kwargs = self._eval_args(initial_value, current_value,
                                    random_state)
     size = None
@@ -130,7 +131,8 @@ class BiasedRandomWalk(base.Variation):
     self._timescale = timescale
     self._value = 0.0
 
-  def __call__(self, initial_value, current_value, random_state):
+  def __call__(self, initial_value=None, current_value=None,
+               random_state=None):
     retention = 1.0 - 1.0 / self._timescale
     scale = self._stdev * np.sqrt(1 - retention ** 2)
     self._value = (retention * self._value +

@@ -13,7 +13,8 @@ class Additive(base.Variation):
     self._distribution = distribution
     self._cumulative = cumulative
 
-  def __call__(self, initial_value, current_value, random_state):
+  def __call__(self, initial_value=None, current_value=None,
+               random_state=None):
     amount = evaluate(self._distribution, initial_value, current_value,
                       random_state)
     base_value = current_value if self._cumulative else initial_value
@@ -26,7 +27,8 @@ class Multiplicative(base.Variation):
     self._distribution = distribution
     self._cumulative = cumulative
 
-  def __call__(self, initial_value, current_value, random_state):
+  def __call__(self, initial_value=None, current_value=None,
+               random_state=None):
     amount = evaluate(self._distribution, initial_value, current_value,
                       random_state)
     base_value = current_value if self._cumulative else initial_value

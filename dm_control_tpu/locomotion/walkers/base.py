@@ -115,6 +115,24 @@ class WalkerObservables(composer.Observables):
     return observable.Generic(get_zaxis)
 
   @composer.observable
+  def body_height(self):
+    return observable.MJCFFeature('xpos', self._entity.root_body,
+                                  index=2)
+
+  @composer.observable
+  def end_effectors_pos(self):
+    """End-effector positions in the egocentric frame
+    (reference legacy_base.py end_effectors_pos)."""
+    def relative_pos_in_egocentric_frame(physics):
+      end_effector = np.asarray(
+          physics.bind(self._entity.end_effectors).xpos)
+      torso = np.asarray(physics.bind(self._entity.root_body).xpos)
+      xmat = np.reshape(
+          np.asarray(physics.bind(self._entity.root_body).xmat), (3, 3))
+      return np.reshape(np.dot(end_effector - torso, xmat), -1)
+    return observable.Generic(relative_pos_in_egocentric_frame)
+
+  @composer.observable
   def position(self):
     return observable.MJCFFeature('xpos', self._entity.root_body)
 

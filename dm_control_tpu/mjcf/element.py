@@ -64,15 +64,17 @@ class Element:
 
   def __init__(self, tag: str, parent: Optional['Element'],
                root: Optional['RootElement']):
-    if tag in schema_lib.SCHEMA:
-      self.spec = schema_lib.SCHEMA[tag]
-    elif parent is not None and parent.tag in ('fixed', 'spatial'):
-      # tendon sub-elements: joint / site / geom under a tendon
+    if (parent is not None and parent.tag in ('fixed', 'spatial')
+        and tag in ('joint', 'site', 'geom')):
+      # tendon sub-elements: joint / site / geom under a tendon carry
+      # reference attrs, NOT the global joint/site/geom schema
       attrs = {'joint': schema_lib.TENDON_JOINT_ATTRS,
                'site': schema_lib.TENDON_SITE_ATTRS,
                'geom': schema_lib.TENDON_GEOM_ATTRS}[tag]
       self.spec = {'attributes': attrs, 'children': (),
                    'repeatable': True, 'identifier': None}
+    elif tag in schema_lib.SCHEMA:
+      self.spec = schema_lib.SCHEMA[tag]
     else:
       raise Error(f'unknown element kind {tag!r}')
     self.tag = tag
@@ -98,7 +100,15 @@ class Element:
     attrs = object.__getattribute__(self, '_attrs')
     if name_key in spec['attributes']:
       return attrs.get(name_key)
-    # section access on non-root containers (e.g. body children)
+    # PyMJCF semantics: a <default> class exposes its per-kind child
+    # elements as attributes, created on first access
+    # (reference mjcf/element.py default handling)
+    if (object.__getattribute__(self, 'tag') == 'default'
+        and name in spec['children'] and name != 'default'):
+      for c in object.__getattribute__(self, '_children'):
+        if c.tag == name:
+          return c
+      return self.add(name)
     raise AttributeError(
         f'{self.tag!r} element has no attribute {name!r}')
 
@@ -178,8 +188,14 @@ class Element:
 
   @property
   def full_identifier(self):
-    """Identifier including attachment prefixes."""
-    prefix = self._root._prefix if self._root is not None else ''
+    """Identifier including the full attachment-prefix chain (a hand
+    attached to an arm attached to an arena compiles as
+    'arm/hand/<name>')."""
+    prefix = ''
+    r = self._root
+    while r is not None:
+      prefix = r._prefix + prefix
+      r = r._parent_root
     n = self._attrs.get('name')
     return f'{prefix}{n}' if n else None
 
@@ -241,7 +257,7 @@ class RootElement(Element):
   """The <mujoco> root of an MJCF model tree."""
 
   __slots__ = ('_namescope', '_attachments', '_assets', '_prefix',
-               '_sections')
+               '_sections', '_parent_root')
 
   _SECTIONS = ('compiler', 'option', 'asset', 'worldbody', 'contact',
                'equality', 'tendon', 'actuator', 'sensor', 'keyframe',
@@ -253,6 +269,7 @@ class RootElement(Element):
     object.__setattr__(self, '_assets', {})
     object.__setattr__(self, '_prefix', '')
     object.__setattr__(self, '_sections', {})
+    object.__setattr__(self, '_parent_root', None)
     super().__init__('mujoco', None, None)
     self._root = self
     self._attrs['model'] = model
@@ -289,8 +306,13 @@ class RootElement(Element):
       i += 1
       prefix = f'{base[:-1]}_{i}/'
     object.__setattr__(other, '_prefix', prefix)
+    object.__setattr__(other, '_parent_root', self)
     parent = site.parent if site is not None else self.worldbody
     frame = parent.add('body', name=f'{prefix}')
+    # elements of the attached model resolve unclassed defaults against
+    # the attachment's own (namescoped) top default — see the default
+    # wrapping in _serialize_into
+    frame._attrs['childclass'] = prefix
     if site is not None:
       if site.pos is not None:
         frame.pos = site.pos
@@ -318,6 +340,40 @@ class RootElement(Element):
     et = ElementTree.Element('mujoco')
     et.set('model', str(self._attrs.get('model', 'unnamed')))
     self._serialize_into(et, '')
+    # the object model is radians throughout (see from_xml_string);
+    # serialize that invariant so the compiler agrees
+    comp = et.find('compiler')
+    if comp is None:
+      comp = ElementTree.Element('compiler')
+      et.insert(0, comp)
+    comp.set('angle', 'radian')
+    # attached models may each contribute an <option><flag/> — the MJCF
+    # schema requires flag to be unique, so merge them (attribute union,
+    # later attachments win on conflict)
+    for opt in et.findall('option'):
+      flags = opt.findall('flag')
+      if len(flags) > 1:
+        merged = {}
+        for fl in flags:
+          merged.update(fl.attrib)
+          opt.remove(fl)
+        ElementTree.SubElement(opt, 'flag', merged)
+    # a <default> class admits one child per element kind; merge
+    # duplicates (attribute union, later wins) — include-merged models
+    # commonly contribute e.g. two <geom> defaults to the same class
+    def merge_default_dups(default_et):
+      seen = {}
+      for child in list(default_et):
+        if child.tag == 'default':
+          merge_default_dups(child)
+          continue
+        if child.tag in seen:
+          seen[child.tag].attrib.update(child.attrib)
+          default_et.remove(child)
+        else:
+          seen[child.tag] = child
+    for dflt in et.findall('default'):
+      merge_default_dups(dflt)
     return et
 
   def _serialize_into(self, et, prefix: str):
@@ -331,19 +387,24 @@ class RootElement(Element):
       for c in self._sections['worldbody']._children:
         c._to_etree(prefix, world_et)
     # attachments: splice their non-worldbody sections and mount their
-    # worldbody children under the attachment frame
+    # worldbody children under the attachment frame (recursive — an
+    # attached model may itself carry attachments, e.g. hand on arm on
+    # arena)
+    self._splice_attachments(et, world_et, prefix)
+
+  def _splice_attachments(self, et, search_et, prefix: str):
     for frame, sub, sub_prefix in self._attachments:
       full_prefix = prefix + sub_prefix
-      # frame body already serialized above (it is in our worldbody);
+      # frame body already serialized (it lives in the host worldbody);
       # locate it and append the attached worldbody children
       frame_et = None
-      for b in world_et.iter('body'):
-        if b.get('name') == prefix + sub_prefix:
+      for b in search_et.iter('body'):
+        if b.get('name') == full_prefix:
           frame_et = b
           break
       if frame_et is None:
-        frame_et = ElementTree.SubElement(world_et, 'body',
-                                          name=prefix + sub_prefix)
+        frame_et = ElementTree.SubElement(search_et, 'body',
+                                          name=full_prefix)
       if 'worldbody' in sub._sections:
         for c in sub._sections['worldbody']._children:
           c._to_etree(full_prefix, frame_et)
@@ -357,8 +418,26 @@ class RootElement(Element):
           target = et.find(tag)
           if target is None:
             target = ElementTree.SubElement(et, tag)
+          if tag == 'default':
+            # namescope the attachment's defaults: wrap them in a
+            # class named by the prefix (the attachment frame carries
+            # childclass=prefix), so the sub-model's top-level defaults
+            # stay local and nested classes inherit them — the
+            # reference's attachment-default semantics
+            target = ElementTree.SubElement(target, 'default')
+            target.set('class', full_prefix)
           for c in sec._children:
             c._to_etree(full_prefix, target)
+            if tag in ('actuator', 'tendon', 'contact', 'equality'):
+              # non-worldbody elements have no childclass to inherit
+              # from: give unclassed ones the attachment's default
+              # class explicitly
+              new_et = target[-1]
+              if ('class' in c.spec['attributes']
+                  and new_et.get('class') is None):
+                new_et.set('class', full_prefix)
+      # recurse into the attachment's own attachments
+      sub._splice_attachments(et, frame_et, full_prefix)
 
   def to_xml_string(self, pretty: bool = True) -> str:
     et = self.to_xml()
@@ -375,19 +454,128 @@ class RootElement(Element):
 # ---------------------------------------------------------------------------
 
 
-def from_xml_string(xml_string: str) -> RootElement:
+def from_xml_string(xml_string: str, base_dir: str = None,
+                    assets: Dict[str, bytes] = None) -> RootElement:
   et = ElementTree.fromstring(xml_string)
   if et.tag != 'mujoco':
     raise Error(f'expected <mujoco> root, got <{et.tag}>')
+  _resolve_includes(et, base_dir, assets)
+  # The object model is ALWAYS radians (reference PyMJCF invariant):
+  # degree-mode documents are converted at parse time, and serialization
+  # emits compiler angle="radian" — so attached models from different
+  # angle modes compose correctly.
+  comp = et.find('compiler')
+  degrees = comp is None or comp.get('angle', 'degree') == 'degree'
+  if degrees:
+    _degrees_to_radians(et)
   root = RootElement(model=et.get('model', 'unnamed'))
   for child in et:
     _parse_into(root, child)
+  root.compiler.angle = 'radian'
+  _load_file_assets(root, et, base_dir, assets)
   return root
 
 
-def from_path(path: str) -> RootElement:
+def _degrees_to_radians(et):
+  """Converts a degree-mode document's angular attributes to radians.
+
+  `range`/`ref`/`springref` conversion assumes hinge joints — correct
+  for every degree-mode model parsed in-repo; slide-joint degree-mode
+  documents would need the compiler's default-class type resolution.
+  """
+  deg = np.pi / 180.0
+
+  def conv_attr(e, key):
+    v = e.get(key)
+    if v is None:
+      return
+    vals = [float(x) for x in v.split()]
+    if key == 'axisangle':
+      vals[-1] *= deg
+    else:
+      vals = [x * deg for x in vals]
+    e.set(key, ' '.join(repr(x) for x in vals))
+
+  for e in et.iter():
+    if e.tag == 'joint' and e.get('type', 'hinge') != 'slide':
+      for key in ('range', 'ref', 'springref'):
+        conv_attr(e, key)
+    if e.tag in ('geom', 'site', 'body', 'camera', 'light', 'joint',
+                 'inertial'):
+      for key in ('euler', 'axisangle'):
+        conv_attr(e, key)
+
+
+def from_path(path: str, assets: Dict[str, bytes] = None) -> RootElement:
+  import os
   with open(path) as f:
-    return from_xml_string(f.read())
+    return from_xml_string(f.read(), base_dir=os.path.dirname(path),
+                           assets=assets)
+
+
+def _resolve_includes(et, base_dir, assets, depth=0):
+  """Splices <include file=.../> children in place (MJCF semantics:
+  the included document's root children replace the include element)."""
+  import os
+  if depth > 8:
+    raise Error('include nesting too deep')
+  out = []
+  changed = False
+  for child in list(et):
+    if child.tag == 'include':
+      fname = child.get('file', '')
+      text = None
+      if assets and fname in assets:
+        data = assets[fname]
+        text = data.decode() if isinstance(data, bytes) else data
+      elif base_dir is not None and os.path.exists(
+          os.path.join(base_dir, fname)):
+        with open(os.path.join(base_dir, fname)) as f:
+          text = f.read()
+      elif os.path.exists(fname):
+        with open(fname) as f:
+          text = f.read()
+      if text is None:
+        raise Error(f'cannot resolve include file {fname!r}')
+      sub = ElementTree.fromstring(text)
+      _resolve_includes(sub, base_dir, assets, depth + 1)
+      out.extend(list(sub))
+      changed = True
+    else:
+      _resolve_includes(child, base_dir, assets, depth)
+      out.append(child)
+  if changed:
+    for child in list(et):
+      et.remove(child)
+    et.extend(out)
+
+
+def _load_file_assets(root: 'RootElement', et, base_dir, assets):
+  """Registers the bytes of file-referenced assets (meshes, textures,
+  skins, hfield pngs) on the root so get_assets() ships them to the
+  compiler, resolving relative to meshdir/texturedir and base_dir."""
+  import os
+  comp = et.find('compiler')
+  meshdir = comp.get('meshdir', '') if comp is not None else ''
+  texdir = comp.get('texturedir', meshdir) if comp is not None else ''
+  for child in [c for sec in et.findall('asset') for c in sec]:
+    fname = child.get('file')
+    if not fname:
+      continue
+    if assets and fname in assets:
+      data = assets[fname]
+      root._assets[fname] = (data.encode() if isinstance(data, str)
+                             else data)
+      continue
+    sub = meshdir if child.tag in ('mesh', 'hfield') else texdir
+    for cand in (fname, os.path.join(sub, fname)):
+      path = (os.path.join(base_dir, cand)
+              if base_dir is not None and not os.path.isabs(cand)
+              else cand)
+      if os.path.exists(path):
+        with open(path, 'rb') as f:
+          root._assets[fname] = f.read()
+        break
 
 
 def _parse_into(parent: Element, et) -> None:

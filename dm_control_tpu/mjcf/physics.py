@@ -69,9 +69,20 @@ def _generate_bind_table(named):
   return table
 
 
+_WORLDBODY_NS = ('joint', 'geom', 'site', 'body', 'camera', 'light')
+
+
 def _doc_order_elements(root, namespace):
-  """All elements of a namespace in document (compile) order."""
+  """All elements of a namespace in COMPILE order.
+
+  Worldbody namespaces interleave attached models at their attachment
+  frames (the serializer mounts each attachment's worldbody inside its
+  frame body, so that is where its joints/geoms land in the compiled
+  model); section namespaces (actuators, tendons, ...) append per
+  attachment after the host's own, matching the section splicing.
+  """
   out = []
+  frame_map = {id(frame): sub for frame, sub, _ in root._attachments}
 
   def walk(e):
     for c in e._children:
@@ -80,10 +91,13 @@ def _doc_order_elements(root, namespace):
       if c.spec['identifier'] == namespace:
         out.append(c)
       walk(c)
+      if namespace in _WORLDBODY_NS and id(c) in frame_map:
+        out.extend(_doc_order_elements(frame_map[id(c)], namespace))
 
   walk(root)
-  for _frame, sub, _prefix in root._attachments:
-    out.extend(_doc_order_elements(sub, namespace))
+  if namespace not in _WORLDBODY_NS:
+    for _frame, sub, _prefix in root._attachments:
+      out.extend(_doc_order_elements(sub, namespace))
   return out
 
 
@@ -164,7 +178,11 @@ class Physics(engine.Physics):
                       ) -> 'Physics':
     xml = mjcf_model.to_xml_string()
     assets = mjcf_model.get_assets()
-    physics = cls.from_xml_string(xml, assets=assets)
+    # composer scenes commonly contain robot meshes that
+    # interpenetrate by design (Jaco links): give the top-K contact
+    # compaction a wide envelope so prop/ground contacts are never
+    # starved out by deep robot self-contacts
+    physics = cls.from_xml_string(xml, assets=assets, contact_budget=64)
     physics._mjcf_model = mjcf_model
     return physics
 

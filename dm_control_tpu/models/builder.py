@@ -50,7 +50,8 @@ def _principal_inertia(mass: float, fullinertia: np.ndarray,
   return np.maximum(w, 0.0), q
 
 
-def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
+def build(c: compiler_lib.Compiler, dtype=jnp.float32,
+          contact_budget=None) -> types.Model:
   nbody = len(c.bodies)
   njnt = len(c.joints)
   ngeom = len(c.geoms)
@@ -457,7 +458,7 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32) -> types.Model:
   # contact slots, max ~6 — 16 deepest slots is a generous envelope,
   # and every solver iteration's cost scales with the resulting row
   # count (48 slots made humanoid carry 225 constraint rows)
-  _GROUP_BUDGET = 16
+  _GROUP_BUDGET = contact_budget if contact_budget else 16
   for cdim in sorted(set(slot_dim)):
     n_c = sum(1 for s in slot_dim if s == cdim)
     k_c = n_c if ncon_max <= _SELECT_THRESHOLD else min(n_c, _GROUP_BUDGET)

@@ -101,8 +101,10 @@ class Physics:
     return new
 
   @classmethod
-  def from_xml_string(cls, xml_string, assets=None) -> 'Physics':
-    return cls(models.from_xml_string(xml_string, assets=assets))
+  def from_xml_string(cls, xml_string, assets=None,
+                      **compile_kwargs) -> 'Physics':
+    return cls(models.from_xml_string(xml_string, assets=assets,
+                                      **compile_kwargs))
 
   @classmethod
   def from_xml_path(cls, path, assets=None) -> 'Physics':
@@ -186,6 +188,11 @@ class Physics:
     self._commit()
     self._data = self._forward_fn(self._model_dev, self._data)
     self._invalidate()
+
+  def after_reset(self) -> None:
+    """Runs after qpos/qvel edits outside a reset_context
+    (reference engine.py Physics.after_reset)."""
+    self.forward()
 
   def reset(self, keyframe_id: Optional[int] = None) -> None:
     data = types.make_data(self._model)

@@ -29,34 +29,63 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _jacobi_scale(H: jax.Array) -> jax.Array:
+  """Diagonal scaling s with diag(s H s) = 1 (van der Sluis optimal).
+
+  Physics mass matrices legitimately span ~6 orders of magnitude on the
+  diagonal (a 2 kg arm link vs a 60 g prop's 1e-5 rotational inertia).
+  A raw dense Cholesky in f32 loses the small pivots to cancellation
+  against the large rows — the scaled factorization keeps every pivot
+  O(1), which is what the oracle's f64 sparse tree factorization gets
+  for free.
+  """
+  d = jnp.diagonal(H, axis1=-2, axis2=-1)
+  tiny = jnp.asarray(1e-30, H.dtype)
+  return jnp.where(d > tiny, jax.lax.rsqrt(jnp.maximum(d, tiny)),
+                   jnp.ones((), H.dtype))
+
+
+def _pivot_floor(dtype) -> float:
+  # relative floor for pivots of the UNIT-DIAGONAL scaled matrix: a
+  # computed pivot below ~n*eps is pure rounding noise; clamping bounds
+  # the factor instead of injecting 1/sqrt(1e-30) garbage rows.
+  return 1e-6 if dtype == jnp.float32 else 1e-12
+
+
 def cholesky(H: jax.Array) -> jax.Array:
   """Lower-triangular Cholesky factor of a batch of SPD matrices.
 
-  H: (..., n, n) with small static n. Unrolled Cholesky-Crout: column j
-  of L is one batched matvec against the already-computed columns.
+  H: (..., n, n) with small static n. Unrolled Cholesky-Crout on the
+  Jacobi-scaled matrix (unit diagonal): column j of L is one batched
+  matvec against the already-computed columns.
   """
   n = H.shape[-1]
   if n == 0:
     return H
+  s = _jacobi_scale(H)
+  Hs = H * s[..., :, None] * s[..., None, :]
   if n > _UNROLL_MAX_N:
-    return jnp.linalg.cholesky(H)
-  dtype = H.dtype
-  cols = []
-  eps = jnp.asarray(1e-30, dtype)
-  for j in range(n):
-    hj = H[..., :, j]
-    if cols:
-      Lpart = jnp.stack(cols, axis=-1)             # (..., n, j)
-      rowj = Lpart[..., j, :]                      # (..., j)
-      c = hj - jnp.einsum('...ik,...k->...i', Lpart, rowj)
-    else:
-      c = hj
-    djj = jnp.sqrt(jnp.maximum(c[..., j], eps))
-    col = c / djj[..., None]
-    mask = (np.arange(n) >= j)
-    col = jnp.where(jnp.asarray(mask), col, jnp.zeros((), dtype))
-    cols.append(col)
-  return jnp.stack(cols, axis=-1)
+    Ls = jnp.linalg.cholesky(Hs)
+  else:
+    dtype = H.dtype
+    cols = []
+    eps = jnp.asarray(_pivot_floor(dtype), dtype)
+    for j in range(n):
+      hj = Hs[..., :, j]
+      if cols:
+        Lpart = jnp.stack(cols, axis=-1)           # (..., n, j)
+        rowj = Lpart[..., j, :]                    # (..., j)
+        c = hj - jnp.einsum('...ik,...k->...i', Lpart, rowj)
+      else:
+        c = hj
+      djj = jnp.sqrt(jnp.maximum(c[..., j], eps))
+      col = c / djj[..., None]
+      mask = (np.arange(n) >= j)
+      col = jnp.where(jnp.asarray(mask), col, jnp.zeros((), dtype))
+      cols.append(col)
+    Ls = jnp.stack(cols, axis=-1)
+  # H = S^-1 (S H S) S^-1  =>  L = S^-1 Ls
+  return Ls / s[..., :, None]
 
 
 # Above this matrix size the unrolled formulation's O(n^2) trace makes
@@ -83,18 +112,21 @@ def chol_inv_t(H: jax.Array) -> jax.Array:
   n = H.shape[-1]
   if n == 0:
     return H
+  s = _jacobi_scale(H)
+  Hs = H * s[..., :, None] * s[..., None, :]
   if n > _UNROLL_MAX_N:
-    L = jnp.linalg.cholesky(H)
+    L = jnp.linalg.cholesky(Hs)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=H.dtype), H.shape)
     K = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    return jnp.swapaxes(K, -1, -2)
+    # fold the scaling into K: H^-1 = S Ks^T Ks S
+    return jnp.swapaxes(K, -1, -2) * s[..., :, None]
   dtype = H.dtype
-  eps = jnp.asarray(1e-30, dtype)
+  eps = jnp.asarray(_pivot_floor(dtype), dtype)
   eye = np.eye(n)
   lcols = []    # lcols[j] = (..., n) column j of L
   krows = []    # krows[i] = (..., n) row i of K
   for j in range(n):
-    hj = H[..., :, j]
+    hj = Hs[..., :, j]
     if lcols:
       Lpart = jnp.stack(lcols, axis=-1)
       rowj = Lpart[..., j, :]
@@ -113,7 +145,8 @@ def chol_inv_t(H: jax.Array) -> jax.Array:
       Kpart = jnp.stack(krows, axis=-1)            # (..., n, j) = K^T so far
       acc = acc - jnp.einsum('...k,...jk->...j', lrow, Kpart)
     krows.append(acc / djj[..., None])
-  return jnp.stack(krows, axis=-1)
+  # Kt[..., j, i] = Ks[i, j]; effective K = Ks S so scale axis -2 by s
+  return jnp.stack(krows, axis=-1) * s[..., :, None]
 
 
 def kt_solve(Kt: jax.Array, b: jax.Array) -> jax.Array:

@@ -46,7 +46,9 @@ def _chol_solve_kernel(n: int, h_ref, g_ref, x_ref, a_scr, y_scr):
   a_scr: (n, n, TB) scratch (holds L in the lower triangle)
   y_scr: (n, TB) scratch
   """
-  eps = jnp.float32(1e-30)
+  # the wrapper scales H to unit diagonal, so pivots are O(1): a pivot
+  # below ~n*eps is rounding noise — clamp instead of dividing by it
+  eps = jnp.float32(1e-6)
   a_scr[:] = h_ref[:]
   # (n, 1) row-index iota, generated in-kernel (constants can't be
   # captured by pallas kernels)
@@ -90,12 +92,18 @@ def _chol_solve_tpu(H: jax.Array, g: jax.Array) -> jax.Array:
   B, n = H.shape[0], H.shape[-1]
   npad = max(8, int(np.ceil(n / 8)) * 8)
   bpad = int(np.ceil(B / _TB)) * _TB
+  # Jacobi scaling to unit diagonal (see linalg._jacobi_scale): keeps
+  # every pivot O(1) so the f32 factorization survives mass matrices
+  # whose diagonal spans ~6 orders of magnitude.
+  d = jnp.diagonal(H, axis1=-2, axis2=-1).astype(jnp.float32)
+  s = jnp.where(d > 1e-30, jax.lax.rsqrt(jnp.maximum(d, 1e-30)), 1.0)
+  H = H.astype(jnp.float32) * s[:, :, None] * s[:, None, :]
+  gs = g.astype(jnp.float32) * s
   # pad: identity on the extra diagonal keeps the factorization valid
   Hp = jnp.zeros((bpad, npad, npad), jnp.float32)
   Hp = Hp.at[:, np.arange(n, npad), np.arange(n, npad)].set(1.0)
-  Hp = Hp.at[:B, :n, :n].set(H.astype(jnp.float32))
-  gp = jnp.zeros((bpad, npad), jnp.float32).at[:B, :n].set(
-      g.astype(jnp.float32))
+  Hp = Hp.at[:B, :n, :n].set(H)
+  gp = jnp.zeros((bpad, npad), jnp.float32).at[:B, :n].set(gs)
   Ht = jnp.transpose(Hp, (1, 2, 0))
   gt = gp.T
 
@@ -117,7 +125,7 @@ def _chol_solve_tpu(H: jax.Array, g: jax.Array) -> jax.Array:
           pltpu.VMEM((npad, _TB), jnp.float32),
       ],
   )(Ht, gt)
-  return xt.T[:B, :n].astype(g.dtype)
+  return (xt.T[:B, :n] * s).astype(g.dtype)
 
 
 def chol_solve_batched(H: jax.Array, g: jax.Array) -> jax.Array:

@@ -24,20 +24,123 @@ IKResult = collections.namedtuple(
     'IKResult', ['qpos', 'err_norm', 'steps', 'success'])
 
 
+_HOST_CACHE = {}
+
+
+def _host_arrays(model: types.Model):
+  """Float64 host copies of the model arrays the IK needs (cached)."""
+  key = id(model)
+  if key not in _HOST_CACHE:
+    g = lambda name: np.asarray(jax.device_get(getattr(model, name)),
+                                dtype=np.float64)
+    _HOST_CACHE[key] = dict(
+        body_pos=g('body_pos'), body_quat=g('body_quat'),
+        jnt_pos=g('jnt_pos'), jnt_axis=g('jnt_axis'),
+        qpos0=g('qpos0'), site_pos=g('site_pos'),
+        site_quat=g('site_quat'))
+  return _HOST_CACHE[key]
+
+
+def _quat_mul_np(a, b):
+  w1, x1, y1, z1 = a
+  w2, x2, y2, z2 = b
+  return np.array([
+      w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+      w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+      w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+      w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+
+def _quat_mat_np(q):
+  w, x, y, z = q
+  return np.array([
+      [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+      [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+      [2 * (x * z - w * y), 2 * (y * z + w * x),
+       1 - 2 * (x * x + y * y)]])
+
+
+def _axis_angle_quat_np(axis, angle):
+  half = 0.5 * angle
+  return np.concatenate([[np.cos(half)], np.sin(half) * np.asarray(axis)])
+
+
 def _fk_site(model: types.Model, site_id: int):
-  """Returns jitted fn: qpos -> (site_xpos, site_xquat, jacp, jacr)."""
+  """Returns fn: qpos -> (site_xpos, site_xquat, jacp, jacr).
+
+  Full float64 host FK + analytic site Jacobian: the reference IK's
+  quadratic convergence (tol 1e-14, consumed by
+  entities/manipulators/base.py set_site_to_xpos) needs f64 — a device
+  f32 FK caps the reachable error at ~1e-5 and IK would never succeed.
+  """
+  h = _host_arrays(model)
+  _J = constants.JointType
+  body = model.site_bodyid[site_id]
+  # kinematic chain world -> site body, and its joints
+  chain = []
+  b = body
+  while b != 0:
+    chain.append(b)
+    b = model.body_parentid[b]
+  chain = chain[::-1]
 
   def fk(qpos):
-    d = types.make_data(model)
-    d = d.replace(qpos=qpos)
-    d = smooth.kinematics(model, d)
-    d = smooth.com_pos(model, d)
-    pos = d.site_xpos[site_id]
-    quat = mops.mat_to_quat(d.site_xmat[site_id])
-    jacp, jacr = smooth.jac(model, d, pos, model.site_bodyid[site_id])
+    qpos = np.asarray(qpos, dtype=np.float64)
+    xpos = np.zeros(3)
+    xquat = np.array([1.0, 0, 0, 0])
+    jacp_cols = {}
+    jacr_cols = {}
+    for b in chain:
+      xpos = xpos + _quat_mat_np(xquat) @ h['body_pos'][b]
+      xquat = _quat_mul_np(xquat, h['body_quat'][b])
+      for ji in range(model.body_jntadr[b],
+                      model.body_jntadr[b] + model.body_jntnum[b]):
+        jt = model.jnt_type[ji]
+        qadr = model.jnt_qposadr[ji]
+        vadr = model.jnt_dofadr[ji]
+        R = _quat_mat_np(xquat)
+        if jt == _J.FREE:
+          xpos = qpos[qadr:qadr + 3].copy()
+          q = qpos[qadr + 3:qadr + 7]
+          xquat = q / np.linalg.norm(q)
+          R = _quat_mat_np(xquat)
+          for i in range(3):
+            jacp_cols[vadr + i] = (np.eye(3)[i], None)
+          for i in range(3):
+            jacr_cols[vadr + 3 + i] = (R[:, i], xpos.copy())
+        elif jt == _J.BALL:
+          anchor = R @ h['jnt_pos'][ji] + xpos
+          q = qpos[qadr:qadr + 4]
+          qn = q / np.linalg.norm(q)
+          for i in range(3):
+            jacr_cols[vadr + i] = (R[:, i], anchor.copy())
+          xquat = _quat_mul_np(xquat, qn)
+          xpos = anchor - _quat_mat_np(xquat) @ h['jnt_pos'][ji]
+        elif jt == _J.SLIDE:
+          axis = R @ h['jnt_axis'][ji]
+          jacp_cols[vadr] = (axis, None)
+          xpos = xpos + axis * (qpos[qadr] - h['qpos0'][qadr])
+        else:  # HINGE
+          anchor = R @ h['jnt_pos'][ji] + xpos
+          axis = R @ h['jnt_axis'][ji]
+          jacr_cols[vadr] = (axis, anchor.copy())
+          qloc = _axis_angle_quat_np(h['jnt_axis'][ji],
+                                     qpos[qadr] - h['qpos0'][qadr])
+          xquat = _quat_mul_np(xquat, qloc)
+          xpos = anchor - _quat_mat_np(xquat) @ h['jnt_pos'][ji]
+    R = _quat_mat_np(xquat)
+    pos = xpos + R @ h['site_pos'][site_id]
+    quat = _quat_mul_np(xquat, h['site_quat'][site_id])
+    jacp = np.zeros((3, model.nv))
+    jacr = np.zeros((3, model.nv))
+    for v, (axis, anchor) in jacp_cols.items():
+      jacp[:, v] = axis
+    for v, (axis, anchor) in jacr_cols.items():
+      jacr[:, v] = axis
+      jacp[:, v] = np.cross(axis, pos - anchor)
     return pos, quat, jacp, jacr
 
-  return jax.jit(fk)
+  return fk
 
 
 def qpos_from_site_pose(physics_or_model,
@@ -94,8 +197,7 @@ def qpos_from_site_pose(physics_or_model,
   err_norm = np.inf
 
   for steps in range(1, max_steps + 1):
-    pos, quat, jacp, jacr = jax.device_get(
-        fk(jnp.asarray(qpos, dtype=jnp.float32)))
+    pos, quat, jacp, jacr = fk(qpos)
     err_parts = []
     jac_parts = []
     err_norm = 0.0
@@ -121,10 +223,12 @@ def qpos_from_site_pose(physics_or_model,
       if angle > np.pi:
         angle -= 2 * np.pi
       axis = dq[1:] / max(sin_half, 1e-12)
-      err_rot = axis * angle * rot_weight
+      # rot_weight scales the convergence metric only, NOT the
+      # least-squares system (reference inverse_kinematics.py:160-174)
+      err_rot = axis * angle
       err_norm += float(np.linalg.norm(err_rot)) * rot_weight
       err_parts.append(err_rot)
-      jac_parts.append(np.asarray(jacr, dtype=np.float64) * rot_weight)
+      jac_parts.append(np.asarray(jacr, dtype=np.float64))
 
     if err_norm < tol:
       success = True

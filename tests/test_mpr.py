@@ -120,5 +120,7 @@ def test_dog_model_compiles_with_parity():
   d = jax.jit(lambda dd: forward.forward(m, dd))(d)
   mujoco.mj_forward(mc, dc)
   scale = max(1.0, np.max(np.abs(dc.qacc)))
+  # x64 is disabled in the test process, so this actually runs f32:
+  # 5e-6 normalized is ~40 ULP of the f32 scaled mass factorization
   np.testing.assert_allclose(np.asarray(d.qacc) / scale,
-                             dc.qacc / scale, atol=1e-6)
+                             dc.qacc / scale, atol=5e-6)
