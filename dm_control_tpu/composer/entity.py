@@ -44,6 +44,12 @@ class Observables:
     return collections.OrderedDict(
         (f'{prefix}/{k}', v) for k, v in self._observables.items())
 
+  def add_observable(self, name, observable, enabled=False):
+    """Registers an extra observable on this entity at runtime
+    (reference composer/entity.py Observables.add_observable)."""
+    self._observables[name] = observable
+    observable.enabled = enabled
+
   def __getitem__(self, name):
     return self._observables[name]
 
@@ -149,6 +155,9 @@ class Entity(abc.ABC):
     if self._parent is None:
       raise RuntimeError('entity is not attached')
     self._parent._attached.remove(self)
+    if getattr(self.mjcf_model, '_parent_root', None) is not None:
+      self.mjcf_model.detach()
+    self._attachment_frame = None
     self._parent = None
 
   @property
@@ -209,12 +218,29 @@ class Entity(abc.ABC):
     binding = physics.bind(target)
     return np.array(binding.xpos), np.array(binding.xquat)
 
-  def shift_pose(self, physics, position=None, quaternion=None):
+  def shift_pose(self, physics, position=None, quaternion=None,
+                 rotate_velocity=False):
+    """Shifts pose; optionally rotates the linear velocity with the
+    orientation shift (reference entity.py shift_pose)."""
     pos, quat = self.get_pose(physics)
     new_pos = pos + position if position is not None else None
     new_quat = (np.asarray(transformations.quat_mul(quaternion, quat))
                 if quaternion is not None else None)
+    if quaternion is not None and rotate_velocity:
+      velocity, angular = self.get_velocity(physics)
+      rotated = transformations.quat_rotate(
+          np.asarray(quaternion, dtype=float), np.asarray(velocity))
+      self.set_velocity(physics, velocity=rotated,
+                        angular_velocity=angular)
     self.set_pose(physics, new_pos, new_quat)
+
+  def get_velocity(self, physics):
+    """(linear, angular) velocity of the entity's free joint."""
+    freejoints = self._free_joints()
+    if not freejoints:
+      raise ValueError('entity has no free joint')
+    qvel = np.array(physics.bind(freejoints[0]).qvel)
+    return qvel[:3], qvel[3:6]
 
   def set_velocity(self, physics, velocity=None,
                    angular_velocity=None):

@@ -71,6 +71,31 @@ class Walker(composer.Entity, metaclass=abc.ABCMeta):
   def end_effectors(self):
     return ()
 
+  # ---------------- mocap tracking support ----------------
+  @property
+  def mocap_joints(self):
+    """Joints in the canonical mocap-clip order (default: doc order)."""
+    return tuple(j for j in self.mjcf_model.find_all('joint')
+                 if j.tag == 'joint' and (j.type or 'hinge') != 'free')
+
+  @property
+  def mocap_tracking_bodies(self):
+    """Bodies whose world pose is matched against mocap clips."""
+    return tuple(self.mjcf_model.find_all('body'))
+
+  def actuator_force(self, physics):
+    return physics.bind(self.observable_joints).qfrc_actuator
+
+  @property
+  def mocap_to_observable_joint_order(self):
+    mocap = list(self.mocap_joints)
+    return [mocap.index(j) for j in self.observable_joints]
+
+  @property
+  def observable_to_mocap_joint_order(self):
+    obs = list(self.observable_joints)
+    return [obs.index(j) for j in self.mocap_joints]
+
   @property
   def egocentric_camera(self):
     return None

@@ -10,6 +10,18 @@ from dm_control_tpu.mjcf.element import from_path, from_xml_string
 from dm_control_tpu.mjcf.physics import Binding, Physics
 
 
+def get_attachment_frame(mjcf_model):
+  """The frame body an attached model is mounted on, or None
+  (reference mjcf/__init__.py get_attachment_frame)."""
+  parent = getattr(mjcf_model, '_parent_root', None)
+  if parent is None:
+    return None
+  for frame, sub, _ in parent._attachments:
+    if sub is mjcf_model:
+      return frame
+  return None
+
+
 def export_with_assets(mjcf_model, out_dir, out_file_name=None):
   """Writes the model XML and its assets to a directory."""
   import os

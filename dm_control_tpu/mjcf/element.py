@@ -324,10 +324,18 @@ class RootElement(Element):
     return frame
 
   def detach(self):
-    """Detaches this model from its parent (if attached)."""
-    # find the parent that holds us
-    raise NotImplementedError(
-        'detach from the parent side: remove the attachment frame')
+    """Detaches this model from its parent (if attached): removes the
+    attachment frame body and the parent's attachment record."""
+    parent = getattr(self, '_parent_root', None)
+    if parent is None:
+      raise RuntimeError('model is not attached')
+    for i, (frame, sub, _prefix) in enumerate(parent._attachments):
+      if sub is self:
+        del parent._attachments[i]
+        frame.remove()
+        break
+    object.__setattr__(self, '_parent_root', None)
+    object.__setattr__(self, '_prefix', '')
 
   def get_assets(self) -> Dict[str, bytes]:
     assets = dict(self._assets)
