@@ -41,6 +41,29 @@ class Walker(composer.Entity, metaclass=abc.ABCMeta):
   def _build_observables(self):
     return WalkerObservables(self)
 
+  @property
+  def upright_pose(self):
+    return WalkerPose()
+
+  def reinitialize_pose(self, physics, random_state):
+    """Resets the walker to its upright pose
+    (reference legacy_base.py:49-51 via UprightInitializer)."""
+    del random_state
+    pose = self.upright_pose
+    if pose.qpos is not None:
+      physics.bind(self.mocap_joints).qpos = pose.qpos
+    self.set_pose(physics, position=pose.xpos, quaternion=pose.xquat)
+    try:
+      self.set_velocity(physics, velocity=np.zeros(3),
+                        angular_velocity=np.zeros(3))
+    except ValueError:
+      pass  # fixed-base walker
+
+  def aliveness(self, physics):
+    """[-1, 0] measure of walker viability; 0 = alive (legacy_base)."""
+    del physics
+    return 0.
+
   # ---------------- egocentric transforms ----------------
   def transform_vec_to_egocentric_frame(self, physics,
                                         vec_in_world_frame):

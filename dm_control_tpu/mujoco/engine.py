@@ -151,6 +151,14 @@ class Physics:
         del self._host_cache[key]
 
   # ---------------- public surface ----------------
+  def update_model_field(self, name: str, value) -> None:
+    """Stages a write to a device model array (e.g. `hfield_data`) —
+    the counterpart of mutating mjModel in place (reference
+    locomotion/arenas/bowl.py writes physics.model.hfield_data)."""
+    self._set_field('model', name, value)
+    # keep the host model view consistent for immediate readbacks
+    self._model = self._model.replace(**{name: np.asarray(value)})
+
   @property
   def model(self) -> types.Model:
     return self._model
