@@ -15,6 +15,7 @@ from xml.etree import ElementTree
 
 import numpy as np
 
+from dm_control_tpu.mjcf import debugging as _debugging
 from dm_control_tpu.mjcf import schema as schema_lib
 
 
@@ -82,6 +83,7 @@ class Element:
     self._children: List[Element] = []
     self._parent = parent
     self._root = root
+    _debugging.register_element_for_debugging(self)
 
   # ---------------- attributes ----------------
   def get_attributes(self) -> Dict[str, object]:

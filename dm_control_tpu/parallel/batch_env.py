@@ -42,8 +42,25 @@ class BatchedEnvironment:
                batch_size: int,
                time_limit: float = float('inf'),
                n_sub_steps: int = 1,
-               seed: int = 0):
-    self.model = jax.device_put(model)
+               seed: int = 0,
+               mesh=None,
+               axis_name: str = 'env'):
+    """`mesh`: optional jax.sharding.Mesh — when given, the env batch
+    axis is sharded over its `axis_name` axis and the model is
+    replicated; XLA inserts the (ICI) collectives. The computation is
+    numerically identical to the single-device vmap path (asserted by
+    tests/test_sharding.py)."""
+    self._mesh = mesh
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      if batch_size % mesh.devices.size:
+        raise ValueError('batch_size must divide the mesh size')
+      self._env_sharding = NamedSharding(mesh, P(axis_name))
+      self._rep_sharding = NamedSharding(mesh, P())
+      self.model = jax.device_put(model, self._rep_sharding)
+    else:
+      self._env_sharding = self._rep_sharding = None
+      self.model = jax.device_put(model)
     self.task = task
     self.batch_size = batch_size
     self._n_sub_steps = n_sub_steps
@@ -130,8 +147,17 @@ class BatchedEnvironment:
       steps = jnp.where(done, 0, steps)
       return state, obs, steps, reward, done
 
-    self._reset_fn = jax.jit(_reset)
-    self._step_fn = jax.jit(_step, donate_argnums=(1,))
+    if mesh is not None:
+      env_s, rep_s = self._env_sharding, self._rep_sharding
+      self._reset_fn = jax.jit(
+          _reset, out_shardings=(env_s, env_s, env_s))
+      self._step_fn = jax.jit(
+          _step, donate_argnums=(1,),
+          in_shardings=(rep_s, env_s, env_s, env_s, rep_s),
+          out_shardings=(env_s, env_s, env_s, env_s, env_s))
+    else:
+      self._reset_fn = jax.jit(_reset)
+      self._step_fn = jax.jit(_step, donate_argnums=(1,))
     self._step_core = _step_core
     self._init_one = _init_one
     self._state = None
@@ -209,7 +235,13 @@ class BatchedEnvironment:
       self.reset()
     self._key, sub = jax.random.split(self._key)
     if self._rollout_fn is None:
-      self._rollout_fn = jax.jit(run, static_argnums=2)
+      if self._mesh is not None:
+        self._rollout_fn = jax.jit(
+            run, static_argnums=2,
+            in_shardings=(self._env_sharding, self._rep_sharding),
+            out_shardings=(self._env_sharding, self._env_sharding))
+      else:
+        self._rollout_fn = jax.jit(run, static_argnums=2)
     state, total = self._rollout_fn(self._state, sub, n_steps)
     self._state = state
     return self._data, total
