@@ -50,21 +50,30 @@ class _EnabledObservable:
 class Updater:
   """Evaluates enabled observables on a schedule and buffers them."""
 
-  def __init__(self, observables: Dict[str, object],
+  def __init__(self, observables,
                physics_steps_per_control_step: int = 1,
                strip_singleton_obs_buffer_dim: bool = False):
+    """`observables`: a dict of observables, or a LIST of dicts for
+    multi-agent tasks (reference updater.py supports both structures —
+    soccer returns one dict per player)."""
+    self._multi_agent = isinstance(observables, (list, tuple))
     self._observables = observables
     self._n_sub_steps = physics_steps_per_control_step
     self._strip = strip_singleton_obs_buffer_dim
     self._enabled = []
+    self._enabled_groups = []
     self._step_counter = 0
 
   def reset(self, physics, random_state) -> None:
     self._step_counter = 0
-    self._enabled = [
-        _EnabledObservable(name, obs, physics, random_state,
-                           self._strip)
-        for name, obs in self._observables.items() if obs.enabled]
+    groups = (self._observables if self._multi_agent
+              else [self._observables])
+    self._enabled_groups = [
+        [_EnabledObservable(name, obs, physics, random_state,
+                            self._strip)
+         for name, obs in group.items() if obs.enabled]
+        for group in groups]
+    self._enabled = [e for group in self._enabled_groups for e in group]
     # initial observation fills the buffers
     for e in self._enabled:
       delay = _call_if_callable(e.observable.delay or 0, random_state)
@@ -77,6 +86,9 @@ class Updater:
     return bool(self._enabled)
 
   def observation_spec(self):
+    if self._multi_agent:
+      return [collections.OrderedDict((e.name, e.spec()) for e in group)
+              for group in self._enabled_groups]
     return collections.OrderedDict(
         (e.name, e.spec()) for e in self._enabled)
 
@@ -95,12 +107,16 @@ class Updater:
         e.buffer.insert(self._step_counter, delay,
                         e.update_callable())
 
-  def get_observation(self) -> 'collections.OrderedDict':
-    out = collections.OrderedDict()
-    for e in self._enabled:
-      value = e.buffer.read(self._step_counter)
-      if e.observable.aggregator is not None:
-        agg = e.observable.aggregator
-        value = agg(np.atleast_1d(value))
-      out[e.name] = value
-    return out
+  def _read_one(self, e):
+    value = e.buffer.read(self._step_counter)
+    if e.observable.aggregator is not None:
+      value = e.observable.aggregator(np.atleast_1d(value))
+    return value
+
+  def get_observation(self):
+    if self._multi_agent:
+      return [collections.OrderedDict(
+          (e.name, self._read_one(e)) for e in group)
+              for group in self._enabled_groups]
+    return collections.OrderedDict(
+        (e.name, self._read_one(e)) for e in self._enabled)

@@ -57,6 +57,27 @@ class PositionDetector(composer.Entity):
     return self._mjcf_root
 
   @property
+  def lower(self):
+    return self._lower
+
+  @property
+  def upper(self):
+    return self._upper
+
+  def resize(self, pos, size):
+    """Re-centers/re-sizes the detection region and its site."""
+    pos = np.asarray(pos, dtype=float)
+    size = np.asarray(size, dtype=float)
+    self._lower = pos - size
+    self._upper = pos + size
+    render_pos = np.zeros(3)
+    render_pos[:len(pos)] = pos
+    render_size = np.full(3, _RENDERED_HEIGHT_IN_2D_MODE)
+    render_size[:len(size)] = size
+    self._site.pos = render_pos
+    self._site.size = render_size
+
+  @property
   def detected_entities(self):
     return [e for e, d in self._entities if d]
 
