@@ -1,0 +1,68 @@
+"""Viewer: runtime state machine, input map, headless application."""
+
+import numpy as np
+
+from dm_control_tpu import suite
+from dm_control_tpu.viewer import application
+from dm_control_tpu.viewer import runtime as runtime_lib
+from dm_control_tpu.viewer import user_input
+
+
+def test_default_action_midpoint():
+  env = suite.load('cartpole', 'swingup')
+  action = runtime_lib._get_default_action(env.action_spec())
+  np.testing.assert_allclose(action, np.zeros_like(action))
+
+
+def test_runtime_state_machine():
+  env = suite.load('cartpole', 'swingup')
+  rt = runtime_lib.Runtime(env)
+  assert rt.state == runtime_lib.State.START
+  rt.tick(time_elapsed=0.05, paused=False)
+  assert rt.state == runtime_lib.State.RUNNING
+  assert rt.get_time() > 0
+  rt.tick(time_elapsed=0.05, paused=True)   # paused: time frozen
+  t = rt.get_time()
+  rt.tick(time_elapsed=0.05, paused=True)
+  assert rt.get_time() == t
+  rt.stop()
+  assert rt.state == runtime_lib.State.STOPPED
+  rt.restart()
+  rt.tick(time_elapsed=0.01, paused=False)
+  assert rt.state == runtime_lib.State.RUNNING
+
+
+def test_input_map_dispatch():
+  im = user_input.InputMap()
+  hits = []
+  im.bind(lambda: hits.append('space'), user_input.KEY_SPACE)
+  assert im.handle_key(user_input.KEY_SPACE, user_input.PRESS)
+  assert not im.handle_key(user_input.KEY_A, user_input.PRESS)
+  assert hits == ['space']
+  # exclusive binding: active between press and release
+  state = []
+  im.bind(state.append, user_input.Exclusive(user_input.KEY_P))
+  assert im.handle_key(user_input.KEY_P, user_input.PRESS)
+  assert state == [True]
+  assert im.handle_key(user_input.KEY_P, user_input.RELEASE)
+  assert state == [True, False]
+
+
+def test_headless_application_renders_frames():
+  frames = []
+
+  def frame_callback(pixels, overlays):
+    frames.append((pixels, overlays))
+
+  app = application.launch(
+      lambda: suite.load('cartpole', 'balance'),
+      width=64, height=48, frame_callback=frame_callback, max_frames=3)
+  assert len(frames) == 3
+  pixels, overlays = frames[-1]
+  assert pixels.shape == (48, 64, 3)
+  assert pixels.dtype == np.uint8
+  assert overlays, 'status overlay rows should be present'
+  # keyboard control: space pauses
+  assert not app.paused.value
+  app.handle_key(user_input.KEY_SPACE)
+  assert app.paused.value
