@@ -82,6 +82,35 @@ def test_initial_state_is_randomized():
                          ts2.observation['position'])
 
 
+@pytest.mark.parametrize('domain,task', [('cartpole', 'balance'),
+                                         ('hopper', 'stand'),
+                                         ('reacher', 'easy')])
+def test_episode_to_termination_no_constant_observations(domain, task):
+  """Run a full episode to its time limit; no observation element may
+  stay constant for the whole episode (reference
+  suite/suite_test.py:250 contract)."""
+  env = suite.load(domain, task, task_kwargs={'random': 99})
+  spec = env.action_spec()
+  rng = np.random.RandomState(2)
+  ts = env.reset()
+  flat = [np.concatenate([np.ravel(np.asarray(v, dtype=np.float64))
+                          for v in ts.observation.values()])]
+  steps = 0
+  while not ts.last():
+    ts = env.step(_uniform_policy(spec, rng))
+    flat.append(np.concatenate(
+        [np.ravel(np.asarray(v, dtype=np.float64))
+         for v in ts.observation.values()]))
+    steps += 1
+    assert steps < 2000, 'episode failed to terminate'
+  assert ts.discount == 1.0  # time-limit truncation, not termination
+  stacked = np.stack(flat)
+  variation = stacked.max(axis=0) - stacked.min(axis=0)
+  assert np.all(variation > 0), (
+      'constant observation elements at indices '
+      f'{np.where(variation == 0)[0]}')
+
+
 def test_benchmarking_tags():
   assert ('cartpole', 'swingup') in suite.BENCHMARKING
   assert ('hopper', 'hop') in suite.BENCHMARKING
