@@ -40,7 +40,20 @@ def calibrate(m: types.Model) -> types.Model:
     else:
       minv = np.zeros((0, 0))
 
-    dof_invweight0 = np.diag(minv) if m.nv else np.zeros(0)
+    dof_invweight0 = np.diag(minv).copy() if m.nv else np.zeros(0)
+
+    # oracle convention (mj_setConst): free joints average the inverse-
+    # inertia diagonal over the translation triple and the rotation
+    # triple; ball joints average over their rotation triple — so the
+    # constraint regularizer is isotropic per joint.
+    for j in range(m.njnt):
+      v = int(m.jnt_dofadr[j])
+      jt = int(m.jnt_type[j])
+      if jt == int(constants.JointType.FREE):
+        dof_invweight0[v:v + 3] = dof_invweight0[v:v + 3].mean()
+        dof_invweight0[v + 3:v + 6] = dof_invweight0[v + 3:v + 6].mean()
+      elif jt == int(constants.JointType.BALL):
+        dof_invweight0[v:v + 3] = dof_invweight0[v:v + 3].mean()
 
     # springdamper joints: the compiler overrides stiffness/damping to hit
     # the requested (timeconst, dampratio) with the apparent joint inertia

@@ -118,6 +118,23 @@ def _floats(s: str, n: Optional[int] = None, pad: float = 0.0) -> np.ndarray:
   return v
 
 
+def _floats_defaulted(s: str, defaults: str) -> np.ndarray:
+  """Parse floats, completing missing trailing entries from `defaults`.
+
+  MJCF semantics for multi-element attributes like solimp: a value string
+  shorter than the full width keeps the built-in defaults for the
+  unspecified tail (so solimp="0.9 0.99 0.003" keeps midpoint=0.5 and
+  power=2 rather than zeroing them).
+  """
+  dv = np.array([float(x) for x in defaults.split()], dtype=np.float64)
+  v = np.array([float(x) for x in s.split()], dtype=np.float64)
+  if v.size > dv.size:
+    raise ValueError(f'expected <= {dv.size} floats in {s!r}')
+  out = dv.copy()
+  out[:v.size] = v
+  return out
+
+
 def _bool(s: str) -> bool:
   return s.lower() in ('true', '1')
 
@@ -773,7 +790,7 @@ class Compiler:
         armature=float(a.get('armature', '0')),
         frictionloss=float(a.get('frictionloss', '0')),
         solref=_floats(a.get('solreflimit', '0.02 1'), 2),
-        solimp=_floats(a.get('solimplimit', '0.9 0.95 0.001 0.5 2'), 5),
+        solimp=_floats_defaulted(a.get('solimplimit', '0.9 0.95 0.001 0.5 2'), '0.9 0.95 0.001 0.5 2'),
         margin=float(a.get('margin', '0')),
         springdamper=(_floats(a['springdamper'], 2)
                       if 'springdamper' in a else None)))
@@ -820,7 +837,7 @@ class Compiler:
         group=int(a.get('group', '0')),
         friction=fr,
         solref=_floats(a.get('solref', '0.02 1'), 2),
-        solimp=_floats(a.get('solimp', '0.9 0.95 0.001 0.5 2'), 5),
+        solimp=_floats_defaulted(a.get('solimp', '0.9 0.95 0.001 0.5 2'), '0.9 0.95 0.001 0.5 2'),
         solmix=float(a.get('solmix', '1')),
         margin=float(a.get('margin', '0')),
         gap=float(a.get('gap', '0')),
@@ -974,7 +991,7 @@ class Compiler:
           damping=float(a.get('damping', '0')),
           springlength=springlength,
           solref=_floats(a.get('solreflimit', '0.02 1'), 2),
-          solimp=_floats(a.get('solimplimit', '0.9 0.95 0.001 0.5 2'), 5),
+          solimp=_floats_defaulted(a.get('solimplimit', '0.9 0.95 0.001 0.5 2'), '0.9 0.95 0.001 0.5 2'),
           margin=float(a.get('margin', '0')),
           width=float(a.get('width', '0.003')),
           wraps=wraps))
@@ -1012,7 +1029,7 @@ class Compiler:
             condim=int(a.get('condim', '3')),
             friction=fr,
             solref=_floats(a.get('solref', '0.02 1'), 2),
-            solimp=_floats(a.get('solimp', '0.9 0.95 0.001 0.5 2'), 5),
+            solimp=_floats_defaulted(a.get('solimp', '0.9 0.95 0.001 0.5 2'), '0.9 0.95 0.001 0.5 2'),
             margin=float(a.get('margin', '0')),
             gap=float(a.get('gap', '0'))))
 
@@ -1056,7 +1073,7 @@ class Compiler:
           etype=int(etype), obj1=obj1, obj2=obj2, ns=ns, data=data,
           active=_bool(a.get('active', 'true')),
           solref=_floats(a.get('solref', '0.02 1'), 2),
-          solimp=_floats(a.get('solimp', '0.9 0.95 0.001 0.5 2'), 5)))
+          solimp=_floats_defaulted(a.get('solimp', '0.9 0.95 0.001 0.5 2'), '0.9 0.95 0.001 0.5 2')))
 
   def _parse_keyframe(self, elem):
     for child in elem:

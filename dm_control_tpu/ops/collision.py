@@ -586,8 +586,23 @@ def collision(m: Model, d: Data) -> Data:
         dtype=jnp.int32)
     dist = dist.at[slots].set(dd.reshape(-1))
     pos = pos.at[slots].set(pp.reshape(-1, 3))
-    frame = frame.at[slots].set(
-        mops.make_frame(nn.reshape(-1, 3)))
+    if (t1, t2) == (_G.PLANE, _G.CAPSULE):
+      # oracle convention (mjc_PlaneCapsule): the first friction tangent
+      # is the capsule axis projected into the plane, so rolling/sliding
+      # friction pyramids align with the capsule — fall back to the
+      # canonical frame only when the capsule is plane-perpendicular.
+      nrm = nn.reshape(-1, 3)
+      caxis = jnp.repeat(d.geom_xmat[g2][:, :, 2], k, axis=0)
+      t_ip = caxis - nrm * jnp.sum(caxis * nrm, axis=-1, keepdims=True)
+      t_nrm = jnp.linalg.norm(t_ip, axis=-1, keepdims=True)
+      t1v = jnp.where(t_nrm > 1e-10,
+                      t_ip / jnp.maximum(t_nrm, 1e-12),
+                      mops.make_frame(nrm)[:, 1])
+      t2v = jnp.cross(nrm, t1v)
+      frame = frame.at[slots].set(jnp.stack([nrm, t1v, t2v], axis=-2))
+    else:
+      frame = frame.at[slots].set(
+          mops.make_frame(nn.reshape(-1, 3)))
     rep = lambda x: jnp.repeat(x, k, axis=0)
     imargin = imargin.at[slots].set(rep(mrg - gap))
     friction = friction.at[slots].set(rep(fric))

@@ -234,6 +234,11 @@ def _impedance(solimp, pos):
   d0, dmax, width, mid, power = (
       solimp[..., 0], solimp[..., 1], solimp[..., 2], solimp[..., 3],
       solimp[..., 4])
+  # oracle clamps the endpoints into [MINIMP, MAXIMP] BEFORE the
+  # sigmoid interpolation (so d0=0 acts as 1e-4, shifting the whole
+  # curve), not just the final value.
+  d0 = jnp.clip(d0, constants.MINIMP, constants.MAXIMP)
+  dmax = jnp.clip(dmax, constants.MINIMP, constants.MAXIMP)
   x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-12), 0.0, 1.0)
   mid = jnp.clip(mid, 0.0001, 0.9999)
   power = jnp.maximum(power, 1.0)

@@ -244,9 +244,12 @@ def make_frame(normal: jax.Array) -> jax.Array:
   the pyramid directions follow the tangents).
   """
   n = normalize(normal)
-  a = jnp.abs(n)
-  idx = jnp.argmin(a, axis=-1)
-  cand = jax.nn.one_hot(idx, 3, dtype=n.dtype)
+  # candidate tangent: world-y when the normal is not aligned with it,
+  # world-z otherwise (the oracle engine's mju_makeFrame convention:
+  # if |n_y| < 0.5 pick (0,1,0) else (0,0,1))
+  ey = jnp.zeros_like(n).at[..., 1].set(1.0)
+  ez = jnp.zeros_like(n).at[..., 2].set(1.0)
+  cand = jnp.where((jnp.abs(n[..., 1:2]) < 0.5), ey, ez)
   t1 = normalize(cand - n * jnp.sum(cand * n, axis=-1, keepdims=True))
   t2 = jnp.cross(n, t1)
   return jnp.stack([n, t1, t2], axis=-2)

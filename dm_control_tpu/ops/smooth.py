@@ -129,6 +129,13 @@ def kinematics(m: Model, d: Data) -> Data:
             qn = mops.mul_quat(q_l, qloc)
             quat = quat.at[li].set(qn)
             pos = pos.at[li].set(anchor - mops.rot_vec_quat(jpos, qn))
+    # normalize per body after joint composition (oracle: mju_normalize4
+    # after the per-body joint loop). Semantically required for long
+    # chains; also keeps this graph out of an XLA:CPU fusion miscompile
+    # observed on jax 0.9.0 (hinge-chain FK silently rotated ~0.017 rad
+    # when qacc_smooth-derived outputs were live — see tests/
+    # test_parity_flagships.py humanoid_CMU case).
+    quat = mops.normalize_quat(quat)
     xpos = xpos.at[ids].set(pos)
     xquat = xquat.at[ids].set(quat)
 

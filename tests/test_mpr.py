@@ -5,6 +5,8 @@ The C engine routes these pairs through libccd's MPR; the TPU kernel
 dist/normal in the shallow-contact regime the solver operates in.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,7 +108,8 @@ def test_dog_model_compiles_with_parity():
   import warnings
   from dm_control_tpu import models as M
   from dm_control_tpu.ops import forward
-  path = '/root/reference/dm_control/suite/dog.xml'
+  path = os.path.join(os.path.dirname(__file__), '..', 'dm_control_tpu',
+                      'suite', 'assets', 'dog.xml')
   mc = mujoco.MjModel.from_xml_path(path)
   dc = mujoco.MjData(mc)
   with warnings.catch_warnings():

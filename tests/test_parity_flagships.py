@@ -30,8 +30,8 @@ _ASSETS = os.path.join(os.path.dirname(__file__), '..',
 # model lands in a contact-rich steady state before comparison.
 FLAGSHIPS = [
     ('quadruped.xml', 200, 2e-4, 1e-5),
-    ('manipulator.xml', 200, 2e-4, 1e-5),
-    ('stacker.xml', 200, 2e-4, 1e-5),
+    ('manipulator.xml', 400, 2e-4, 1e-5),
+    ('stacker.xml', 400, 2e-4, 1e-5),
     ('humanoid_CMU.xml', 100, 2e-4, 1e-5),
 ]
 
