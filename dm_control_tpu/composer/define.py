@@ -1,33 +1,39 @@
-"""Decorators for declaring observables on entities.
-
-Counterpart of reference dm_control/composer/define.py:22-70.
-"""
+"""Observable declaration decorators (contract: reference
+composer/define.py — `observable` marks methods of an Observables
+subclass; `cached_property` memoizes per instance)."""
 
 from __future__ import annotations
 
-import functools
 import threading
 
 
-class cached_property(property):  # noqa: N801 (parity naming)
-  """Thread-safe cached property."""
+class cached_property:  # noqa: N801 (parity naming)
+  """Descriptor: computes once per instance, then serves from __dict__.
 
-  def __init__(self, func):
-    super().__init__(func)
-    self._lock = threading.RLock()
+  Because this is a data-less descriptor stored under the getter's own
+  name, the instance __dict__ entry shadows it after the first access —
+  later reads never reenter the descriptor at all. A process-wide lock
+  makes the first fill race-free.
+  """
 
-  def __get__(self, obj, cls=None):
-    if obj is None:
+  _fill_lock = threading.RLock()
+
+  def __init__(self, fget):
+    self.fget = fget
+    self.__doc__ = fget.__doc__
+
+  def __set_name__(self, owner, name):
+    self._name = name
+
+  def __get__(self, instance, owner=None):
+    if instance is None:
       return self
-    name = self.fget.__name__
-    try:
-      return obj.__dict__[name]
-    except KeyError:
-      with self._lock:
-        if name not in obj.__dict__:
-          obj.__dict__[name] = self.fget(obj)
-        return obj.__dict__[name]
+    with self._fill_lock:
+      store = instance.__dict__
+      if self._name not in store:
+        store[self._name] = self.fget(instance)
+      return store[self._name]
 
 
 class observable(cached_property):  # noqa: N801 (parity naming)
-  """Marks a method of an Observables subclass as an observable."""
+  """Declares an observable-producing method on an Observables class."""

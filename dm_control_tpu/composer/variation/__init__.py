@@ -1,8 +1,10 @@
-"""Domain-randomization DSL (reference dm_control/composer/variation).
+"""Domain-randomization DSL (contract: reference
+dm_control/composer/variation).
 
-Variations are lazily-evaluated random expressions with operator
-overloading: `distributions.Uniform(0, 1) * 2 + base`. Evaluation takes
-(initial_value, current_value, random_state).
+Variations are lazily-evaluated random expressions — see `_expr` for the
+functional core. `distributions.Uniform(0, 1) * 2 + base` builds an
+expression graph; calling it with (initial_value, current_value,
+random_state) evaluates it.
 """
 
 from dm_control_tpu.composer.variation import colors
@@ -11,57 +13,50 @@ from dm_control_tpu.composer.variation import distributions
 from dm_control_tpu.composer.variation import math
 from dm_control_tpu.composer.variation import noises
 from dm_control_tpu.composer.variation import rotations
-from dm_control_tpu.composer.variation.base import Variation
+from dm_control_tpu.composer.variation._expr import evaluate
+from dm_control_tpu.composer.variation._expr import Expr
+from dm_control_tpu.composer.variation._expr import Variation
 from dm_control_tpu.composer.variation.variation_broadcaster import (
     VariationBroadcaster)
-from dm_control_tpu.composer.variation.variation_values import (
-    evaluate)
 
 
-class MJCFVariator:
-  """Applies variations to mjcf element attributes per episode
-  (reference composer/variation/__init__.py:136 contract)."""
+class _AttributeVariator:
+  """Shared engine for the MJCF/Physics variators.
+
+  Tracks (target, attribute) -> variation bindings plus the first value
+  seen per binding (the "initial" value fed to the expression graph).
+  Subclasses say how a bound element maps to the object whose attribute
+  is read/written.
+  """
 
   def __init__(self):
-    self._variations = {}
-    self._initial = {}
+    self._bound = {}
+    self._episode_start = {}
 
-  def bind_attributes(self, element, **kwargs):
-    for attr, variation in kwargs.items():
-      self._variations[(element, attr)] = variation
-
-  def apply_variations(self, random_state):
-    for (element, attr), variation in self._variations.items():
-      key = (element, attr)
-      current = getattr(element, attr)
-      if key not in self._initial:
-        self._initial[key] = current
-      value = evaluate(variation, self._initial[key], current,
-                       random_state)
-      setattr(element, attr, value)
+  def bind_attributes(self, element, **variations_by_attr):
+    for attr, expr in variations_by_attr.items():
+      self._bound[(element, attr)] = expr
 
   def reset_initial_values(self):
-    self._initial.clear()
+    self._episode_start.clear()
+
+  def _apply_all(self, random_state, target_of):
+    for (element, attr), expr in self._bound.items():
+      obj = target_of(element)
+      live = getattr(obj, attr)
+      start = self._episode_start.setdefault((element, attr), live)
+      setattr(obj, attr, evaluate(expr, start, live, random_state))
 
 
-class PhysicsVariator:
-  """Applies variations to bound physics attributes per episode."""
+class MJCFVariator(_AttributeVariator):
+  """Varies mjcf element attributes each episode (pre-compile)."""
 
-  def __init__(self):
-    self._variations = {}
-    self._initial = {}
+  def apply_variations(self, random_state):
+    self._apply_all(random_state, lambda element: element)
 
-  def bind_attributes(self, element, **kwargs):
-    for attr, variation in kwargs.items():
-      self._variations[(element, attr)] = variation
+
+class PhysicsVariator(_AttributeVariator):
+  """Varies bound physics attributes each episode (post-compile)."""
 
   def apply_variations(self, physics, random_state):
-    for (element, attr), variation in self._variations.items():
-      binding = physics.bind(element)
-      key = (element, attr)
-      current = getattr(binding, attr)
-      if key not in self._initial:
-        self._initial[key] = current
-      value = evaluate(variation, self._initial[key], current,
-                       random_state)
-      setattr(binding, attr, value)
+    self._apply_all(random_state, physics.bind)

@@ -1,57 +1,26 @@
-"""Non-random variations (reference
-dm_control/composer/variation/deterministic.py:23-70)."""
+"""Non-random variations (contract: reference
+composer/variation/deterministic.py). Factories over the Expr core."""
 
 from __future__ import annotations
 
-from dm_control_tpu.composer.variation import base
-from dm_control_tpu.composer.variation.variation_values import evaluate
+import itertools
+
+from dm_control_tpu.composer.variation import _expr
 
 
-class Constant(base.Variation):
-  """Always evaluates to a fixed value (useful in tests)."""
-
-  def __init__(self, value):
-    self._value = value
-
-  def __call__(self, initial_value=None, current_value=None,
-               random_state=None):
-    return self._value
-
-  def __eq__(self, other):
-    return isinstance(other, Constant) and self._value == other._value
-
-  def __str__(self):
-    return f'{self._value}'
-
-  def __repr__(self):
-    return f'Constant({self._value!r})'
+def Constant(value):  # noqa: N802 (parity naming)
+  """A variation that always evaluates to `value`."""
+  return _expr.Expr(lambda ctx: value, label=f'const({value!r})')
 
 
-class Sequence(base.Variation):
-  """Cycles through a fixed sequence of values, one per evaluation."""
-
-  def __init__(self, values):
-    self._values = values
-    self._iterator = iter(self._values)
-
-  def __call__(self, initial_value=None, current_value=None,
-               random_state=None):
-    try:
-      value = next(self._iterator)
-    except StopIteration:
-      self._iterator = iter(self._values)
-      value = next(self._iterator)
-    return evaluate(value, initial_value=initial_value,
-                    current_value=current_value,
-                    random_state=random_state)
+def Identity():  # noqa: N802
+  """Evaluates to the current value, unchanged."""
+  return _expr.Expr(lambda ctx: ctx.current, label='identity')
 
 
-class Identity(base.Variation):
-  """Evaluates to the current value unchanged."""
-
-  def __call__(self, initial_value=None, current_value=None,
-               random_state=None):
-    return current_value
-
-  def __eq__(self, other):
-    return isinstance(other, Identity)
+def Sequence(values):  # noqa: N802
+  """Cycles through `values`, evaluating one entry per call."""
+  def make():
+    stream = itertools.cycle(values)
+    return lambda ctx: _expr.resolve(next(stream), ctx)
+  return _expr.stateful(make, label='sequence')

@@ -1,140 +1,74 @@
-"""Random distributions for domain randomization
-(reference composer/variation/distributions.py:25-258)."""
+"""Random-distribution variations (contract: reference
+composer/variation/distributions.py).
+
+One table maps each public name to a RandomState sampler; the factory
+machinery (parameter resolution, broadcast of the sample size to the
+bound value's shape unless `single_sample`) is shared by all of them.
+"""
 
 from __future__ import annotations
 
 import numpy as np
 
-from dm_control_tpu.composer.variation import base
-from dm_control_tpu.composer.variation.variation_values import evaluate
+from dm_control_tpu.composer.variation import _expr
 
 
-class Distribution(base.Variation):
-  """Base: subclasses implement _callable(random_state)(**kwargs)."""
+def _shaped_sampler(draw, label):
+  """Factory-of-factories: binds sampler params, handles size logic."""
 
-  __slots__ = ('_args', '_kwargs', '_single_sample')
+  def factory(*params, single_sample=False, **kwparams):
+    def run(ctx):
+      args = [_expr.resolve(p, ctx) for p in params]
+      kwargs = {k: _expr.resolve(v, ctx) for k, v in kwparams.items()}
+      size = None
+      if not single_sample and ctx.initial is not None:
+        size = np.shape(ctx.initial) or None
+      return draw(ctx.random_state, *args, size=size, **kwargs)
+    return _expr.Expr(run, label=label)
 
-  def __init__(self, *args, single_sample=False, **kwargs):
-    self._args = args
-    self._kwargs = kwargs
-    self._single_sample = single_sample
-
-  def _eval_args(self, initial_value, current_value, random_state):
-    args = [evaluate(a, initial_value, current_value, random_state)
-            for a in self._args]
-    kwargs = {k: evaluate(v, initial_value, current_value, random_state)
-              for k, v in self._kwargs.items()}
-    return args, kwargs
-
-  def __call__(self, initial_value=None, current_value=None,
-               random_state=None):
-    args, kwargs = self._eval_args(initial_value, current_value,
-                                   random_state)
-    size = None
-    if not self._single_sample and initial_value is not None:
-      shape = np.shape(initial_value)
-      size = shape if shape else None
-    return self._sample(random_state, *args, size=size, **kwargs)
-
-  def _sample(self, random_state, *args, size=None, **kwargs):
-    raise NotImplementedError
+  factory.__name__ = label
+  return factory
 
 
-class Uniform(Distribution):
+# name -> sampler(random_state, *params, size=None)
+_SAMPLERS = {
+    'Uniform': lambda rng, low=0.0, high=1.0, size=None:
+        rng.uniform(low, high, size=size),
+    'UniformInteger': lambda rng, low, high=None, size=None:
+        rng.randint(low, high, size=size),
+    'UniformChoice': lambda rng, choices, size=None:
+        rng.choice(choices, size=size),
+    'Normal': lambda rng, loc=0.0, scale=1.0, size=None:
+        rng.normal(loc, scale, size=size),
+    'LogNormal': lambda rng, mean=0.0, sigma=1.0, size=None:
+        rng.lognormal(mean, sigma, size=size),
+    'Exponential': lambda rng, scale=1.0, size=None:
+        rng.exponential(scale, size=size),
+    'Poisson': lambda rng, lam=1.0, size=None:
+        rng.poisson(lam, size=size),
+    'Bernoulli': lambda rng, prob=0.5, size=None:
+        rng.binomial(1, prob, size=size),
+    'UniformPointOnSphere': lambda rng, size=None:
+        (lambda v: v / np.linalg.norm(v))(rng.randn(3)),
+}
 
-  def __init__(self, low=0.0, high=1.0, single_sample=False):
-    super().__init__(low, high, single_sample=single_sample)
-
-  def _sample(self, random_state, low, high, size=None):
-    return random_state.uniform(low, high, size=size)
-
-
-class UniformInteger(Distribution):
-
-  def __init__(self, low, high=None, single_sample=False):
-    super().__init__(low, high, single_sample=single_sample)
-
-  def _sample(self, random_state, low, high, size=None):
-    return random_state.randint(low, high, size=size)
-
-
-class UniformChoice(Distribution):
-
-  def __init__(self, choices, single_sample=False):
-    super().__init__(choices, single_sample=single_sample)
-
-  def _sample(self, random_state, choices, size=None):
-    return random_state.choice(choices, size=size)
-
-
-class UniformPointOnSphere(Distribution):
-  """Uniformly distributed unit vector."""
-
-  def __init__(self, single_sample=False):
-    super().__init__(single_sample=single_sample)
-
-  def _sample(self, random_state, size=None):
-    v = random_state.randn(3)
-    return v / np.linalg.norm(v)
+globals().update(
+    {name: _shaped_sampler(draw, name) for name, draw in _SAMPLERS.items()})
 
 
-class Normal(Distribution):
+def BiasedRandomWalk(stdev=0.1, timescale=10.0):  # noqa: N802
+  """Mean-reverting (OU-like) walk; stationary stdev equals `stdev`."""
+  keep = 1.0 - 1.0 / timescale
+  step_scale = stdev * np.sqrt(1.0 - keep * keep)
 
-  def __init__(self, loc=0.0, scale=1.0, single_sample=False):
-    super().__init__(loc, scale, single_sample=single_sample)
+  def make():
+    state = [0.0]
+    def step(ctx):
+      state[0] = keep * state[0] + ctx.random_state.normal(0.0, step_scale)
+      return state[0]
+    return step
 
-  def _sample(self, random_state, loc, scale, size=None):
-    return random_state.normal(loc, scale, size=size)
-
-
-class LogNormal(Distribution):
-
-  def __init__(self, mean=0.0, sigma=1.0, single_sample=False):
-    super().__init__(mean, sigma, single_sample=single_sample)
-
-  def _sample(self, random_state, mean, sigma, size=None):
-    return random_state.lognormal(mean, sigma, size=size)
+  return _expr.stateful(make, label='biased_walk')
 
 
-class Exponential(Distribution):
-
-  def __init__(self, scale=1.0, single_sample=False):
-    super().__init__(scale, single_sample=single_sample)
-
-  def _sample(self, random_state, scale, size=None):
-    return random_state.exponential(scale, size=size)
-
-
-class Poisson(Distribution):
-
-  def __init__(self, lam=1.0, single_sample=False):
-    super().__init__(lam, single_sample=single_sample)
-
-  def _sample(self, random_state, lam, size=None):
-    return random_state.poisson(lam, size=size)
-
-
-class Bernoulli(Distribution):
-
-  def __init__(self, prob=0.5, single_sample=False):
-    super().__init__(prob, single_sample=single_sample)
-
-  def _sample(self, random_state, prob, size=None):
-    return random_state.binomial(1, prob, size=size)
-
-
-class BiasedRandomWalk(base.Variation):
-  """Mean-reverting random walk (distributions.py:222-258 parity)."""
-
-  def __init__(self, stdev=0.1, timescale=10.0):
-    self._stdev = stdev
-    self._timescale = timescale
-    self._value = 0.0
-
-  def __call__(self, initial_value=None, current_value=None,
-               random_state=None):
-    retention = 1.0 - 1.0 / self._timescale
-    scale = self._stdev * np.sqrt(1 - retention ** 2)
-    self._value = (retention * self._value +
-                   random_state.normal(0.0, scale))
-    return self._value
+__all__ = list(_SAMPLERS) + ['BiasedRandomWalk']

@@ -1,35 +1,22 @@
-"""Additive / multiplicative observation noise
-(reference composer/variation/noises.py:23-87)."""
+"""Observation-noise variations (contract: reference
+composer/variation/noises.py). `cumulative` composes onto the live
+value; otherwise onto the episode-initial one."""
 
-from __future__ import annotations
-
-from dm_control_tpu.composer.variation import base
-from dm_control_tpu.composer.variation.variation_values import evaluate
+from dm_control_tpu.composer.variation import _expr
 
 
-class Additive(base.Variation):
-
-  def __init__(self, distribution, cumulative=False):
-    self._distribution = distribution
-    self._cumulative = cumulative
-
-  def __call__(self, initial_value=None, current_value=None,
-               random_state=None):
-    amount = evaluate(self._distribution, initial_value, current_value,
-                      random_state)
-    base_value = current_value if self._cumulative else initial_value
-    return base_value + amount
+def _perturb(combine, distribution, cumulative, label):
+  def run(ctx):
+    amount = _expr.resolve(distribution, ctx)
+    anchor = ctx.current if cumulative else ctx.initial
+    return combine(anchor, amount)
+  return _expr.Expr(run, label=label)
 
 
-class Multiplicative(base.Variation):
+def Additive(distribution, cumulative=False):  # noqa: N802
+  return _perturb(lambda a, x: a + x, distribution, cumulative, 'additive')
 
-  def __init__(self, distribution, cumulative=False):
-    self._distribution = distribution
-    self._cumulative = cumulative
 
-  def __call__(self, initial_value=None, current_value=None,
-               random_state=None):
-    amount = evaluate(self._distribution, initial_value, current_value,
-                      random_state)
-    base_value = current_value if self._cumulative else initial_value
-    return base_value * amount
+def Multiplicative(distribution, cumulative=False):  # noqa: N802
+  return _perturb(lambda a, x: a * x, distribution, cumulative,
+                  'multiplicative')
