@@ -1,48 +1,35 @@
-"""Rescales actions (behavioural parity: reference
-suite/wrappers/action_scale.py:30-103)."""
+"""Action-rescaling wrapper (contract: reference
+suite/wrappers/action_scale.py — affine map from a user-chosen action
+box onto the wrapped env's native bounds)."""
 
 from __future__ import annotations
 
-import dm_env
 from dm_env import specs
 import numpy as np
 
+from dm_control_tpu.suite.wrappers import _base
 
-class Wrapper(dm_env.Environment):
-  """Affinely maps actions from [minimum, maximum] onto the env's spec."""
+
+class Wrapper(_base.Delegate):
+  """Exposes [minimum, maximum] to the agent, maps onto the env's box."""
 
   def __init__(self, env, minimum, maximum):
-    spec = env.action_spec()
-    minimum = np.broadcast_to(minimum, spec.shape).astype(spec.dtype)
-    maximum = np.broadcast_to(maximum, spec.shape).astype(spec.dtype)
-    if not (np.isfinite(minimum).all() and np.isfinite(maximum).all()):
+    super().__init__(env)
+    native = env.action_spec()
+    lo = np.broadcast_to(minimum, native.shape).astype(native.dtype)
+    hi = np.broadcast_to(maximum, native.shape).astype(native.dtype)
+    if not np.isfinite([lo, hi]).all():
       raise ValueError('minimum and maximum must be finite')
-    orig_min = spec.minimum
-    orig_max = spec.maximum
-    scale = (orig_max - orig_min) / (maximum - minimum)
-    offset = orig_min - scale * minimum
-
-    def transform(action):
-      new_action = scale * np.asarray(action) + offset
-      return new_action.astype(spec.dtype)
-
-    self._env = env
-    self._transform = transform
-    self._action_spec = specs.BoundedArray(
-        shape=spec.shape, dtype=spec.dtype, minimum=minimum,
-        maximum=maximum, name=spec.name)
-
-  def step(self, action):
-    return self._env.step(self._transform(action))
-
-  def reset(self):
-    return self._env.reset()
-
-  def observation_spec(self):
-    return self._env.observation_spec()
+    self._gain = (native.maximum - native.minimum) / (hi - lo)
+    self._bias = native.minimum - self._gain * lo
+    self._dtype = native.dtype
+    self._spec = specs.BoundedArray(
+        shape=native.shape, dtype=native.dtype, minimum=lo, maximum=hi,
+        name=native.name)
 
   def action_spec(self):
-    return self._action_spec
+    return self._spec
 
-  def __getattr__(self, name):
-    return getattr(self._env, name)
+  def step(self, action):
+    native_action = self._gain * np.asarray(action) + self._bias
+    return self._env.step(native_action.astype(self._dtype))

@@ -1,81 +1,42 @@
-"""Step-timing observation wrapper
-(reference suite/wrappers/mujoco_profiling.py:30-107).
+"""Step-timing observation wrapper (contract: reference
+suite/wrappers/mujoco_profiling.py — physics timing surfaced as an
+observation).
 
-The reference surfaces MuJoCo's internal step timer; the TPU build has
-no C timer callbacks, so the wrapper measures the wall-clock duration
-of each (jitted, device-synchronized) `env.step` call — the same
-"profiling as an observation" contract: obs[key] = [duration_seconds,
-number_of_steps].
+The reference reads MuJoCo's internal timers; on TPU the equivalent
+observable cost is the wall-clock of the device-synchronized step, so
+obs[key] = [seconds_of_last_step, steps_this_episode].
 """
 
-import collections
 import time
 
-import dm_env
 from dm_env import specs
 import numpy as np
 
-STATE_KEY = 'state'
+from dm_control_tpu.suite.wrappers import _base
+
+STATE_KEY = _base.STATE_KEY
 
 
-class Wrapper(dm_env.Environment):
-  """Adds a step-timing observation to a control environment."""
+class Wrapper(_base.ObservationExtender):
+  """Appends [last step duration (s), step count] to the observation."""
 
   def __init__(self, env, observation_key='step_timing'):
-    wrapped_observation_spec = env.observation_spec()
-    if isinstance(wrapped_observation_spec, specs.Array):
-      self._observation_is_dict = False
-      invalid_keys = set([STATE_KEY])
-    elif isinstance(wrapped_observation_spec,
-                    collections.abc.MutableMapping):
-      self._observation_is_dict = True
-      invalid_keys = set(wrapped_observation_spec.keys())
-    else:
-      raise ValueError('Unsupported observation spec structure.')
-    if observation_key in invalid_keys:
-      raise ValueError(
-          f'Duplicate or reserved observation key {observation_key!r}.')
+    super().__init__(env, key=observation_key)
+    self._timing = np.zeros(2)
 
-    if self._observation_is_dict:
-      self._observation_spec = wrapped_observation_spec.copy()
-    else:
-      self._observation_spec = collections.OrderedDict()
-      self._observation_spec[STATE_KEY] = wrapped_observation_spec
-    self._observation_spec[observation_key] = specs.Array(
-        shape=(2,), dtype=np.double, name=observation_key)
+  def _extra_spec(self):
+    return specs.Array(shape=(2,), dtype=np.double, name=self._key)
 
-    self._env = env
-    self._observation_key = observation_key
-    self._n_steps = 0
-    self._last_duration = 0.0
+  def _extra_value(self):
+    return self._timing.copy()
 
   def reset(self):
-    self._n_steps = 0
-    self._last_duration = 0.0
-    return self._add_profile_observation(self._env.reset())
+    self._timing[:] = 0.0
+    return super().reset()
 
   def step(self, action):
-    t0 = time.perf_counter()
+    started = time.perf_counter()
     time_step = self._env.step(action)
-    self._last_duration = time.perf_counter() - t0
-    self._n_steps += 1
-    return self._add_profile_observation(time_step)
-
-  def observation_spec(self):
-    return self._observation_spec
-
-  def action_spec(self):
-    return self._env.action_spec()
-
-  def _add_profile_observation(self, time_step):
-    if self._observation_is_dict:
-      observation = type(time_step.observation)(time_step.observation)
-    else:
-      observation = collections.OrderedDict()
-      observation[STATE_KEY] = time_step.observation
-    observation[self._observation_key] = np.array(
-        [self._last_duration, self._n_steps], dtype=np.double)
-    return time_step._replace(observation=observation)
-
-  def __getattr__(self, name):
-    return getattr(self._env, name)
+    self._timing[0] = time.perf_counter() - started
+    self._timing[1] += 1
+    return self._extend(time_step)
