@@ -1,209 +1,124 @@
-"""Tasks where the goal is to elevate a prop
-(reference manipulation/lift.py:15-250)."""
+"""Lift tasks: elevate a prop above its settled height.
 
-import collections
+Behavioral contract: reference manipulation/lift.py — same registered
+names (lift_{brick,large_box}_{features,vision}), spawn regions, box
+mass/size, lift distance, and linear shaped reward measured at the
+prop's lowest vertex. Built on the shared Workcell.
+"""
+
 import itertools
 
 import numpy as np
 
-from dm_control_tpu import composer
 from dm_control_tpu.composer import initializers
 from dm_control_tpu.composer.variation import distributions
 from dm_control_tpu.entities import props
 from dm_control_tpu.manipulation.props import primitive as mprops
-from dm_control_tpu.manipulation.shared import arenas
-from dm_control_tpu.manipulation.shared import cameras
 from dm_control_tpu.manipulation.shared import constants
 from dm_control_tpu.manipulation.shared import observations
 from dm_control_tpu.manipulation.shared import registry
-from dm_control_tpu.manipulation.shared import robots
 from dm_control_tpu.manipulation.shared import tags
+from dm_control_tpu.manipulation.shared import workcell
 from dm_control_tpu.manipulation.shared import workspaces
 from dm_control_tpu.utils import rewards
 
-_LiftWorkspace = collections.namedtuple(
-    '_LiftWorkspace', ['prop_bbox', 'tcp_bbox', 'arm_offset'])
-
-_DUPLO_WORKSPACE = _LiftWorkspace(
-    prop_bbox=workspaces.BoundingBox(
-        lower=(-0.1, -0.1, 0.0), upper=(0.1, 0.1, 0.0)),
-    tcp_bbox=workspaces.BoundingBox(
-        lower=(-0.1, -0.1, 0.2), upper=(0.1, 0.1, 0.4)),
-    arm_offset=robots.ARM_OFFSET)
-
-_BOX_SIZE = 0.09
+_LIFT_DISTANCE = 0.3
+_BOX_HALF = 0.09   # deliberately too wide for a pinch grasp
 _BOX_MASS = 1.3
-_BOX_WORKSPACE = _LiftWorkspace(
-    prop_bbox=workspaces.BoundingBox(
-        lower=(-0.1, -0.1, _BOX_SIZE), upper=(0.1, 0.1, _BOX_SIZE)),
-    tcp_bbox=workspaces.BoundingBox(
-        lower=(-0.1, -0.1, 0.2), upper=(0.1, 0.1, 0.4)),
-    arm_offset=robots.ARM_OFFSET)
 
-_DISTANCE_TO_LIFT = 0.3
+_TCP_BBOX = workspaces.BoundingBox((-0.1, -0.1, 0.2), (0.1, 0.1, 0.4))
+
+_SPAWN_Z = {'duplo': 0.0, 'box': _BOX_HALF}
 
 
-class _VertexSitesMixin:
-  """Adds sites at the vertices of a box geom or site."""
-
-  def _add_vertex_sites(self, box_geom_or_site):
-    offsets = ((-hl, hl) for hl in box_geom_or_site.size)
-    site_positions = np.vstack(list(itertools.product(*offsets)))
-    if box_geom_or_site.pos is not None:
-      site_positions += box_geom_or_site.pos
-    self._vertices = []
-    for i, pos in enumerate(site_positions):
-      site = box_geom_or_site.parent.add(
+def _vertex_sites_for(entity, box_like):
+  """Adds a small site at each vertex of a box geom/site; returns them."""
+  spans = ((-half, half) for half in box_like.size)
+  corners = np.array(list(itertools.product(*spans)))
+  if box_like.pos is not None:
+    corners = corners + box_like.pos
+  return [
+      box_like.parent.add(
           'site', name=f'vertex_{i}', pos=pos, type='sphere',
           size=[0.002], rgba=constants.RED,
           group=constants.TASK_SITE_GROUP)
-      self._vertices.append(site)
-
-  @property
-  def vertices(self):
-    return self._vertices
+      for i, pos in enumerate(corners)]
 
 
-class _BoxWithVertexSites(mprops.Box, _VertexSitesMixin):
-  """Box with sites marking the vertices of the box geom."""
+class _TrackedBox(mprops.Box):
+  """Box whose geom vertices carry marker sites."""
 
   def _build(self, *args, **kwargs):
     super()._build(*args, **kwargs)
-    self._add_vertex_sites(self.geom)
+    self.vertices = _vertex_sites_for(self, self.geom)
 
 
-class _DuploWithVertexSites(props.Duplo, _VertexSitesMixin):
-  """Duplo with sites marking the vertices of its bounding site."""
+class _TrackedDuplo(props.Duplo):
+  """Duplo whose bounding-site vertices carry marker sites."""
 
   def _build(self, *args, **kwargs):
     super()._build(*args, **kwargs)
-    self._add_vertex_sites(self.mjcf_model.find('site', 'bounding_box'))
+    self.vertices = _vertex_sites_for(
+        self, self.mjcf_model.find('site', 'bounding_box'))
 
 
-class Lift(composer.Task):
-  """A task where the goal is to elevate a prop."""
+class Lift(workcell.WorkcellTask):
+  """Raise the prop _LIFT_DISTANCE above where it settled."""
 
-  def __init__(self, arena, arm, hand, prop, obs_settings, workspace,
-               control_timestep):
-    self._arena = arena
-    self._arm = arm
-    self._hand = hand
-    self._arm.attach(self._hand)
-    self._arena.attach_offset(self._arm, offset=workspace.arm_offset)
-    self.control_timestep = control_timestep
-
-    self._task_observables = cameras.add_camera_observables(
-        arena, obs_settings, cameras.FRONT_CLOSE)
-
-    self._tcp_initializer = initializers.ToolCenterPointInitializer(
-        self._hand, self._arm,
-        position=distributions.Uniform(*workspace.tcp_bbox),
-        quaternion=workspaces.DOWN_QUATERNION)
-
+  def __init__(self, cell, prop, prop_bbox):
+    super().__init__(cell)
     self._prop = prop
-    self._arena.add_free_entity(prop)
+    cell.add_free_prop(prop)
     self._prop_placer = initializers.PropPlacer(
-        props=[prop],
-        position=distributions.Uniform(*workspace.prop_bbox),
+        props=[prop], position=distributions.Uniform(*prop_bbox),
         quaternion=workspaces.uniform_z_rotation,
         ignore_collisions=True, settle_physics=True)
+    self._goal_height = 0.0
+    self._goal_marker = cell.mark_region(
+        'target',
+        workspaces.BoundingBox((-1, -1, 0), (1, 1, 0)),
+        name='target_height')
+    self._goal_marker.rgba = constants.RED
+    cell.mark_region('prop', prop_bbox, name='prop_spawn_area')
 
-    self._target_height_site = workspaces.add_bbox_site(
-        body=self.root_entity.mjcf_model.worldbody,
-        lower=(-1, -1, 0), upper=(1, 1, 0),
-        rgba=constants.RED, name='target_height')
-    workspaces.add_bbox_site(
-        body=self.root_entity.mjcf_model.worldbody,
-        lower=workspace.tcp_bbox.lower, upper=workspace.tcp_bbox.upper,
-        rgba=constants.GREEN, name='tcp_spawn_area')
-    workspaces.add_bbox_site(
-        body=self.root_entity.mjcf_model.worldbody,
-        lower=workspace.prop_bbox.lower,
-        upper=workspace.prop_bbox.upper,
-        rgba=constants.BLUE, name='prop_spawn_area')
-
-  @property
-  def root_entity(self):
-    return self._arena
-
-  @property
-  def arm(self):
-    return self._arm
-
-  @property
-  def hand(self):
-    return self._hand
-
-  @property
-  def task_observables(self):
-    return self._task_observables
-
-  def _get_height_of_lowest_vertex(self, physics):
-    return min(physics.bind(self._prop.vertices).xpos[:, 2])
-
-  def get_reward(self, physics):
-    prop_height = self._get_height_of_lowest_vertex(physics)
-    return rewards.tolerance(prop_height,
-                             bounds=(self._target_height, np.inf),
-                             margin=_DISTANCE_TO_LIFT,
-                             value_at_margin=0, sigmoid='linear')
+  def _lowest_vertex_height(self, physics):
+    return physics.bind(self._prop.vertices).xpos[:, 2].min()
 
   def initialize_episode(self, physics, random_state):
-    self._hand.set_grasp(physics, close_factors=random_state.uniform())
+    self._cell.reset_hand(physics, random_state)
     self._prop_placer(physics, random_state)
-    self._tcp_initializer(physics, random_state)
-    # target height measured from the settled prop
-    initial_prop_height = self._get_height_of_lowest_vertex(physics)
-    self._target_height = _DISTANCE_TO_LIFT + initial_prop_height
-    binding = physics.bind(self._target_height_site)
-    pos = np.array(binding.pos)
-    pos[2] = self._target_height
-    binding.pos = pos
+    # goal is measured from wherever the prop settled
+    self._goal_height = (
+        self._lowest_vertex_height(physics) + _LIFT_DISTANCE)
+    marker = physics.bind(self._goal_marker)
+    marker.pos = np.array([*marker.pos[:2], self._goal_height])
+
+  def get_reward(self, physics):
+    return rewards.tolerance(
+        self._lowest_vertex_height(physics),
+        bounds=(self._goal_height, np.inf), margin=_LIFT_DISTANCE,
+        value_at_margin=0, sigmoid='linear')
 
 
-def _lift(obs_settings, prop_name):
-  """Configure and instantiate a Lift task."""
-  arena = arenas.Standard()
-  arm = robots.make_arm(obs_settings=obs_settings)
-  hand = robots.make_hand(obs_settings=obs_settings)
-
-  if prop_name == 'duplo':
-    workspace = _DUPLO_WORKSPACE
-    prop = _DuploWithVertexSites(
-        observable_options=observations.make_options(
-            obs_settings, observations.FREEPROP_OBSERVABLES))
-  elif prop_name == 'box':
-    workspace = _BOX_WORKSPACE
-    # the box is intentionally too large for a pinch grip
-    prop = _BoxWithVertexSites(
-        half_lengths=[_BOX_SIZE] * 3,
-        observable_options=observations.make_options(
-            obs_settings, observations.FREEPROP_OBSERVABLES))
-    prop.geom.mass = _BOX_MASS
+def _make_lift(obs_settings, prop_kind):
+  cell = workcell.Workcell(obs_settings, tcp_bbox=_TCP_BBOX)
+  if prop_kind == 'duplo':
+    prop = _TrackedDuplo(observable_options=cell.prop_options())
   else:
-    raise ValueError("`prop_name` must be either 'duplo' or 'box'.")
-  return Lift(arena=arena, arm=arm, hand=hand, prop=prop,
-              workspace=workspace, obs_settings=obs_settings,
-              control_timestep=constants.CONTROL_TIMESTEP)
+    prop = _TrackedBox(half_lengths=[_BOX_HALF] * 3,
+                       observable_options=cell.prop_options())
+    prop.geom.mass = _BOX_MASS
+  z = _SPAWN_Z[prop_kind]
+  bbox = workspaces.BoundingBox((-0.1, -0.1, z), (0.1, 0.1, z))
+  return Lift(cell, prop=prop, prop_bbox=bbox)
 
 
-@registry.add(tags.FEATURES)
-def lift_brick_features():
-  return _lift(obs_settings=observations.PERFECT_FEATURES,
-               prop_name='duplo')
+_REGISTRY_PROP_NAMES = {'duplo': 'brick', 'box': 'large_box'}
 
-
-@registry.add(tags.VISION)
-def lift_brick_vision():
-  return _lift(obs_settings=observations.VISION, prop_name='duplo')
-
-
-@registry.add(tags.FEATURES)
-def lift_large_box_features():
-  return _lift(obs_settings=observations.PERFECT_FEATURES,
-               prop_name='box')
-
-
-@registry.add(tags.VISION)
-def lift_large_box_vision():
-  return _lift(obs_settings=observations.VISION, prop_name='box')
+for _kind, _public in _REGISTRY_PROP_NAMES.items():
+  for _tag, _settings in (('features', observations.PERFECT_FEATURES),
+                          ('vision', observations.VISION)):
+    registry.register(
+        f'lift_{_public}_{_tag}',
+        lambda s=_settings, k=_kind: _make_lift(s, k),
+        _tag)

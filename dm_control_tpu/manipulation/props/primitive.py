@@ -1,5 +1,10 @@
-"""Props made of a single primitive MuJoCo geom
-(reference manipulation/props/primitive.py:15-212)."""
+"""Single-geom props with pose + touch sensing.
+
+Behavioral contract: reference manipulation/props/primitive.py — a
+Primitive entity exposing framepos/framequat/framelinvel/frameangvel
+and touch sensors as observables, plus shape-specific conveniences.
+Here the sensor suite and its observables are generated from one table.
+"""
 
 import itertools
 
@@ -12,32 +17,34 @@ from dm_control_tpu.composer.observation import observable
 
 _DEFAULT_HALF_LENGTHS = [0.05, 0.1, 0.15]
 
+# observable/property name -> frame sensor kind
+_FRAME_SENSORS = {
+    'position': 'framepos',
+    'orientation': 'framequat',
+    'linear_velocity': 'framelinvel',
+    'angular_velocity': 'frameangvel',
+}
+
 
 class Primitive(composer.Entity):
-  """A primitive MuJoCo geom prop with pose + touch sensors."""
+  """A prop consisting of one primitive geom, fully sensed."""
 
   def _build(self, geom_type, size, mass=None, name=None):
     size = np.reshape(np.asarray(size), -1)
     self._mjcf_root = mjcf.RootElement(model=name)
+    self._name = name
     self._geom = self._mjcf_root.worldbody.add(
         'geom', name='body_geom', type=geom_type, size=size, mass=mass)
-    touch_site = self._mjcf_root.worldbody.add(
+
+    sensors = self._mjcf_root.sensor
+    self._frame_sensors = {
+        prop_name: sensors.add(kind, name=prop_name, objtype='geom',
+                               objname=self._geom)
+        for prop_name, kind in _FRAME_SENSORS.items()}
+    probe_site = self._mjcf_root.worldbody.add(
         'site', type=geom_type, name='touch_sensor', size=size * 1.05,
         rgba=[1, 1, 1, 0.1], group=composer.SENSOR_SITES_GROUP)
-    self._touch = self._mjcf_root.sensor.add('touch', site=touch_site)
-    self._position = self._mjcf_root.sensor.add(
-        'framepos', name='position', objtype='geom',
-        objname=self._geom)
-    self._orientation = self._mjcf_root.sensor.add(
-        'framequat', name='orientation', objtype='geom',
-        objname=self._geom)
-    self._linear_velocity = self._mjcf_root.sensor.add(
-        'framelinvel', name='linear_velocity', objtype='geom',
-        objname=self._geom)
-    self._angular_velocity = self._mjcf_root.sensor.add(
-        'frameangvel', name='angular_velocity', objtype='geom',
-        objname=self._geom)
-    self._name = name
+    self._touch = sensors.add('touch', site=probe_site)
 
   def _build_observables(self):
     return PrimitiveObservables(self)
@@ -51,22 +58,6 @@ class Primitive(composer.Entity):
     return self._touch
 
   @property
-  def position(self):
-    return self._position
-
-  @property
-  def orientation(self):
-    return self._orientation
-
-  @property
-  def linear_velocity(self):
-    return self._linear_velocity
-
-  @property
-  def angular_velocity(self):
-    return self._angular_velocity
-
-  @property
   def mjcf_model(self):
     return self._mjcf_root
 
@@ -74,86 +65,57 @@ class Primitive(composer.Entity):
   def name(self):
     return self._name
 
+  def __getattr__(self, item):
+    sensors = self.__dict__.get('_frame_sensors', {})
+    if item in sensors:
+      return sensors[item]
+    raise AttributeError(
+        f'{type(self).__name__!r} object has no attribute {item!r}')
+
+
+def _sensor_observable(prop_name):
+  def getter(self):
+    return observable.MJCFFeature(
+        'sensordata', getattr(self._entity, prop_name))
+  getter.__name__ = prop_name
+  descriptor = define.observable(getter)
+  descriptor.__set_name__(None, prop_name)
+  return descriptor
+
 
 class PrimitiveObservables(composer.Observables,
                            composer.FreePropObservableMixin):
-  """Primitive entity's observables."""
+  """One observable per sensed quantity, generated from the table."""
+  touch = _sensor_observable('touch')
 
-  @define.observable
-  def position(self):
-    return observable.MJCFFeature('sensordata', self._entity.position)
 
-  @define.observable
-  def orientation(self):
-    return observable.MJCFFeature('sensordata',
-                                  self._entity.orientation)
-
-  @define.observable
-  def linear_velocity(self):
-    return observable.MJCFFeature('sensordata',
-                                  self._entity.linear_velocity)
-
-  @define.observable
-  def angular_velocity(self):
-    return observable.MJCFFeature('sensordata',
-                                  self._entity.angular_velocity)
-
-  @define.observable
-  def touch(self):
-    return observable.MJCFFeature('sensordata', self._entity.touch)
+for _prop_name in _FRAME_SENSORS:
+  setattr(PrimitiveObservables, _prop_name, _sensor_observable(_prop_name))
 
 
 class Sphere(Primitive):
-  """A sphere prop."""
 
   def _build(self, radius=0.05, mass=None, name='sphere'):
-    super()._build(geom_type='sphere', size=radius, mass=mass,
-                   name=name)
+    super()._build(geom_type='sphere', size=radius, mass=mass, name=name)
 
 
 class Box(Primitive):
-  """A box prop."""
 
   def _build(self, half_lengths=None, mass=None, name='box'):
-    half_lengths = half_lengths or _DEFAULT_HALF_LENGTHS
-    super()._build(geom_type='box', size=half_lengths, mass=mass,
-                   name=name)
-
-
-class BoxWithSites(Box):
-  """A box prop with sites on the corners."""
-
-  def _build(self, half_lengths=None, mass=None, name='box'):
-    half_lengths = half_lengths or _DEFAULT_HALF_LENGTHS
-    super()._build(half_lengths=half_lengths, mass=mass, name=name)
-    corner_positions = itertools.product(
-        [half_lengths[0], -half_lengths[0]],
-        [half_lengths[1], -half_lengths[1]],
-        [half_lengths[2], -half_lengths[2]])
-    corner_sites = []
-    for i, corner_pos in enumerate(corner_positions):
-      corner_sites.append(self._mjcf_root.worldbody.add(
-          'site', type='sphere', name=f'corner_{i}', size=[0.1],
-          pos=list(corner_pos), rgba=[1, 0, 0, 1.0],
-          group=composer.SENSOR_SITES_GROUP))
-    self._corner_sites = tuple(corner_sites)
-
-  @property
-  def corner_sites(self):
-    return self._corner_sites
+    super()._build(geom_type='box',
+                   size=half_lengths or _DEFAULT_HALF_LENGTHS,
+                   mass=mass, name=name)
 
 
 class Ellipsoid(Primitive):
-  """An ellipsoid prop."""
 
   def _build(self, radii=None, mass=None, name='ellipsoid'):
-    radii = radii or _DEFAULT_HALF_LENGTHS
-    super()._build(geom_type='ellipsoid', size=radii, mass=mass,
-                   name=name)
+    super()._build(geom_type='ellipsoid',
+                   size=radii or _DEFAULT_HALF_LENGTHS,
+                   mass=mass, name=name)
 
 
 class Cylinder(Primitive):
-  """A cylinder prop."""
 
   def _build(self, radius=0.05, half_length=0.15, mass=None,
              name='cylinder'):
@@ -162,9 +124,27 @@ class Cylinder(Primitive):
 
 
 class Capsule(Primitive):
-  """A capsule prop."""
 
   def _build(self, radius=0.05, half_length=0.15, mass=None,
              name='capsule'):
     super()._build(geom_type='capsule', size=[radius, half_length],
                    mass=mass, name=name)
+
+
+class BoxWithSites(Box):
+  """A box prop with a site at each corner."""
+
+  def _build(self, half_lengths=None, mass=None, name='box'):
+    half_lengths = half_lengths or _DEFAULT_HALF_LENGTHS
+    super()._build(half_lengths=half_lengths, mass=mass, name=name)
+    corners = itertools.product(*((h, -h) for h in half_lengths))
+    self._corner_sites = tuple(
+        self._mjcf_root.worldbody.add(
+            'site', type='sphere', name=f'corner_{i}', size=[0.1],
+            pos=list(pos), rgba=[1, 0, 0, 1.0],
+            group=composer.SENSOR_SITES_GROUP)
+        for i, pos in enumerate(corners))
+
+  @property
+  def corner_sites(self):
+    return self._corner_sites

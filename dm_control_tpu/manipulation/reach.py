@@ -1,169 +1,101 @@
-"""A task where the goal is to move the hand close to a target prop or
-site (reference manipulation/reach.py:15-210)."""
+"""Reach tasks: bring the hand near a target prop or site.
 
-import collections
+Behavioral contract: reference manipulation/reach.py — same registered
+names (reach_{duplo,site}_{features,vision}), spawn regions, target
+radius, and shaped reward. Built on the shared Workcell.
+"""
 
-from dm_control_tpu import composer
+import numpy as np
+
 from dm_control_tpu.composer import initializers
 from dm_control_tpu.composer.observation import observable
 from dm_control_tpu.composer.variation import distributions
 from dm_control_tpu.entities import props
-from dm_control_tpu.manipulation.shared import arenas
-from dm_control_tpu.manipulation.shared import cameras
 from dm_control_tpu.manipulation.shared import constants
 from dm_control_tpu.manipulation.shared import observations
 from dm_control_tpu.manipulation.shared import registry
-from dm_control_tpu.manipulation.shared import robots
 from dm_control_tpu.manipulation.shared import tags
+from dm_control_tpu.manipulation.shared import workcell
 from dm_control_tpu.manipulation.shared import workspaces
 from dm_control_tpu.utils import rewards
-import numpy as np
 
-_ReachWorkspace = collections.namedtuple(
-    '_ReachWorkspace', ['target_bbox', 'tcp_bbox', 'arm_offset'])
+_RADIUS = 0.05
+_Z_PAD = 0.001  # keeps spawned props clear of the tabletop
 
-# ensures that the props are not touching the table before settling
-_PROP_Z_OFFSET = 0.001
-
-_DUPLO_WORKSPACE = _ReachWorkspace(
-    target_bbox=workspaces.BoundingBox(
-        lower=(-0.1, -0.1, _PROP_Z_OFFSET),
-        upper=(0.1, 0.1, _PROP_Z_OFFSET)),
-    tcp_bbox=workspaces.BoundingBox(
-        lower=(-0.1, -0.1, 0.2), upper=(0.1, 0.1, 0.4)),
-    arm_offset=robots.ARM_OFFSET)
-
-_SITE_WORKSPACE = _ReachWorkspace(
-    target_bbox=workspaces.BoundingBox(
-        lower=(-0.2, -0.2, 0.02), upper=(0.2, 0.2, 0.4)),
-    tcp_bbox=workspaces.BoundingBox(
-        lower=(-0.2, -0.2, 0.02), upper=(0.2, 0.2, 0.4)),
-    arm_offset=robots.ARM_OFFSET)
-
-_TARGET_RADIUS = 0.05
+_BBOXES = {
+    'duplo': dict(
+        target=workspaces.BoundingBox((-0.1, -0.1, _Z_PAD),
+                                      (0.1, 0.1, _Z_PAD)),
+        tcp=workspaces.BoundingBox((-0.1, -0.1, 0.2), (0.1, 0.1, 0.4))),
+    'site': dict(
+        target=workspaces.BoundingBox((-0.2, -0.2, 0.02),
+                                      (0.2, 0.2, 0.4)),
+        tcp=workspaces.BoundingBox((-0.2, -0.2, 0.02),
+                                   (0.2, 0.2, 0.4))),
+}
 
 
-class Reach(composer.Task):
-  """Bring the hand close to a target prop or site."""
+class Reach(workcell.WorkcellTask):
+  """Move the pinch point to a target (free prop or fixed site)."""
 
-  def __init__(self, arena, arm, hand, prop, obs_settings, workspace,
-               control_timestep):
-    self._arena = arena
-    self._arm = arm
-    self._hand = hand
-    self._arm.attach(self._hand)
-    self._arena.attach_offset(self._arm, offset=workspace.arm_offset)
-    self.control_timestep = control_timestep
-    self._tcp_initializer = initializers.ToolCenterPointInitializer(
-        self._hand, self._arm,
-        position=distributions.Uniform(*workspace.tcp_bbox),
-        quaternion=workspaces.DOWN_QUATERNION)
-
-    self._task_observables = cameras.add_camera_observables(
-        arena, obs_settings, cameras.FRONT_CLOSE)
-
-    target_pos_distribution = distributions.Uniform(
-        *workspace.target_bbox)
+  def __init__(self, cell, prop, target_bbox):
+    super().__init__(cell)
+    target_position = distributions.Uniform(*target_bbox)
     self._prop = prop
-    if prop:
-      # the prop itself visualizes the target location
-      self._make_target_site(parent_entity=prop, visible=False)
-      self._target = self._arena.add_free_entity(prop)
+
+    if prop is not None:
+      # Reaching a prop: the (invisible) target site rides on it.
+      self._target = self._add_target(prop, visible=False)
+      cell.add_free_prop(prop)
       self._prop_placer = initializers.PropPlacer(
-          props=[prop], position=target_pos_distribution,
-          quaternion=workspaces.uniform_z_rotation,
-          settle_physics=True)
+          props=[prop], position=target_position,
+          quaternion=workspaces.uniform_z_rotation, settle_physics=True)
     else:
-      self._target = self._make_target_site(parent_entity=arena,
-                                            visible=True)
-      self._target_placer = target_pos_distribution
-      obs = observable.MJCFFeature('pos', self._target)
-      obs.configure(**obs_settings.prop_pose._asdict())
-      self._task_observables['target_position'] = obs
+      # Reaching a site: visible, teleported per episode, observable.
+      self._target = self._add_target(cell.arena, visible=True)
+      self._site_position = target_position
+      pos_obs = observable.MJCFFeature('pos', self._target)
+      pos_obs.configure(**cell.obs_settings.prop_pose._asdict())
+      self._task_observables['target_position'] = pos_obs
 
-    workspaces.add_bbox_site(
-        body=self.root_entity.mjcf_model.worldbody,
-        lower=workspace.tcp_bbox.lower, upper=workspace.tcp_bbox.upper,
-        rgba=constants.GREEN, name='tcp_spawn_area')
-    workspaces.add_bbox_site(
-        body=self.root_entity.mjcf_model.worldbody,
-        lower=workspace.target_bbox.lower,
-        upper=workspace.target_bbox.upper,
-        rgba=constants.BLUE, name='target_spawn_area')
+    cell.mark_region('target', target_bbox, name='target_spawn_area')
 
-  def _make_target_site(self, parent_entity, visible):
+  def _add_target(self, entity, visible):
     return workspaces.add_target_site(
-        body=parent_entity.mjcf_model.worldbody,
-        radius=_TARGET_RADIUS, visible=visible,
-        rgba=constants.RED, name='target_site')
-
-  @property
-  def root_entity(self):
-    return self._arena
-
-  @property
-  def arm(self):
-    return self._arm
-
-  @property
-  def hand(self):
-    return self._hand
-
-  @property
-  def task_observables(self):
-    return self._task_observables
-
-  def get_reward(self, physics):
-    hand_pos = physics.bind(self._hand.tool_center_point).xpos
-    target_pos = physics.bind(self._target).xpos
-    distance = np.linalg.norm(hand_pos - target_pos)
-    return rewards.tolerance(
-        distance, bounds=(0, _TARGET_RADIUS), margin=_TARGET_RADIUS)
+        body=entity.mjcf_model.worldbody, radius=_RADIUS,
+        visible=visible, rgba=constants.RED, name='target_site')
 
   def initialize_episode(self, physics, random_state):
-    self._hand.set_grasp(physics, close_factors=random_state.uniform())
-    self._tcp_initializer(physics, random_state)
-    if self._prop:
+    self._cell.reset_hand(physics, random_state)
+    if self._prop is not None:
       self._prop_placer(physics, random_state)
     else:
-      physics.bind(self._target).pos = (
-          self._target_placer(random_state=random_state))
+      physics.bind(self._target).pos = self._site_position(
+          random_state=random_state)
+
+  def get_reward(self, physics):
+    gap = np.linalg.norm(
+        physics.bind(self._hand_tcp()).xpos
+        - physics.bind(self._target).xpos)
+    return rewards.tolerance(gap, bounds=(0, _RADIUS), margin=_RADIUS)
+
+  def _hand_tcp(self):
+    return self._cell.hand.tool_center_point
 
 
-def _reach(obs_settings, use_site):
-  """Configure and instantiate a `Reach` task."""
-  arena = arenas.Standard()
-  arm = robots.make_arm(obs_settings=obs_settings)
-  hand = robots.make_hand(obs_settings=obs_settings)
-  if use_site:
-    workspace = _SITE_WORKSPACE
-    prop = None
-  else:
-    workspace = _DUPLO_WORKSPACE
-    prop = props.Duplo(observable_options=observations.make_options(
-        obs_settings, observations.FREEPROP_OBSERVABLES))
-  return Reach(arena=arena, arm=arm, hand=hand, prop=prop,
-               obs_settings=obs_settings, workspace=workspace,
-               control_timestep=constants.CONTROL_TIMESTEP)
+def _make_reach(obs_settings, target_kind):
+  boxes = _BBOXES[target_kind]
+  cell = workcell.Workcell(obs_settings, tcp_bbox=boxes['tcp'])
+  prop = None
+  if target_kind == 'duplo':
+    prop = props.Duplo(observable_options=cell.prop_options())
+  return Reach(cell, prop=prop, target_bbox=boxes['target'])
 
 
-@registry.add(tags.FEATURES, tags.EASY)
-def reach_duplo_features():
-  return _reach(obs_settings=observations.PERFECT_FEATURES,
-                use_site=False)
-
-
-@registry.add(tags.VISION, tags.EASY)
-def reach_duplo_vision():
-  return _reach(obs_settings=observations.VISION, use_site=False)
-
-
-@registry.add(tags.FEATURES, tags.EASY)
-def reach_site_features():
-  return _reach(obs_settings=observations.PERFECT_FEATURES,
-                use_site=True)
-
-
-@registry.add(tags.VISION, tags.EASY)
-def reach_site_vision():
-  return _reach(obs_settings=observations.VISION, use_site=True)
+for _kind in ('duplo', 'site'):
+  for _tag, _settings in (('features', observations.PERFECT_FEATURES),
+                          ('vision', observations.VISION)):
+    registry.register(
+        f'reach_{_kind}_{_tag}',
+        lambda s=_settings, k=_kind: _make_reach(s, k),
+        _tag, tags.EASY)

@@ -1,31 +1,36 @@
-"""Tools for adding custom cameras to the arena
-(reference manipulation/shared/cameras.py:15-75)."""
+"""Fixed camera placements for manipulation scenes.
+
+Behavioral contract: reference manipulation/shared/cameras.py — the
+same five named viewpoints (positions/orientations are the task spec)
+and a helper wiring them up as configured camera observables.
+"""
 
 import collections
 
 from dm_control_tpu.composer.observation import observable
 
-CameraSpec = collections.namedtuple('CameraSpec',
-                                    ['name', 'pos', 'xyaxes'])
+CameraSpec = collections.namedtuple('CameraSpec', ['name', 'pos', 'xyaxes'])
 
-FRONT_CLOSE = CameraSpec(name='front_close', pos=(0., -0.6, 0.75),
-                         xyaxes=(1., 0., 0., 0., 0.7, 0.75))
-FRONT_FAR = CameraSpec(name='front_far', pos=(0., -0.8, 1.),
-                       xyaxes=(1., 0., 0., 0., 0.7, 0.75))
-TOP_DOWN = CameraSpec(name='top_down', pos=(0., 0., 2.5),
-                      xyaxes=(1., 0., 0., 0., 1., 0.))
-LEFT_CLOSE = CameraSpec(name='left_close', pos=(-0.6, 0., 0.75),
-                        xyaxes=(0., -1., 0., 0.7, 0., 0.75))
-RIGHT_CLOSE = CameraSpec(name='right_close', pos=(0.6, 0., 0.75),
-                         xyaxes=(0., 1., 0., -0.7, 0., 0.75))
+# viewpoint name -> (position, xyaxes); values are task-spec constants
+_VIEWPOINTS = {
+    'front_close': ((0., -0.6, 0.75), (1., 0., 0., 0., 0.7, 0.75)),
+    'front_far': ((0., -0.8, 1.), (1., 0., 0., 0., 0.7, 0.75)),
+    'top_down': ((0., 0., 2.5), (1., 0., 0., 0., 1., 0.)),
+    'left_close': ((-0.6, 0., 0.75), (0., -1., 0., 0.7, 0., 0.75)),
+    'right_close': ((0.6, 0., 0.75), (0., 1., 0., -0.7, 0., 0.75)),
+}
+
+FRONT_CLOSE, FRONT_FAR, TOP_DOWN, LEFT_CLOSE, RIGHT_CLOSE = (
+    CameraSpec(name, pos, xyaxes)
+    for name, (pos, xyaxes) in _VIEWPOINTS.items())
 
 
 def add_camera_observables(entity, obs_settings, *camera_specs):
-  """Adds cameras to an entity's worldbody with configured observables."""
-  obs_dict = collections.OrderedDict()
+  """Mounts cameras on `entity` and returns configured observables."""
+  out = collections.OrderedDict()
   for spec in camera_specs:
-    camera = entity.mjcf_model.worldbody.add('camera', **spec._asdict())
-    obs = observable.MJCFCamera(camera)
-    obs.configure(**obs_settings.camera._asdict())
-    obs_dict[spec.name] = obs
-  return obs_dict
+    mount = entity.mjcf_model.worldbody.add('camera', **spec._asdict())
+    view = observable.MJCFCamera(mount)
+    view.configure(**obs_settings.camera._asdict())
+    out[spec.name] = view
+  return out

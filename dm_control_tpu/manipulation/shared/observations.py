@@ -1,78 +1,105 @@
-"""Shared configuration options for observations
-(reference manipulation/shared/observations.py:15-118)."""
+"""Observation configuration presets for manipulation tasks.
 
-import collections
+Behavioral contract: reference manipulation/shared/observations.py —
+the same two presets (PERFECT_FEATURES / VISION), the same observable
+categories (proprio, ftt, prop_pose, camera) and per-entity observable
+name groups. Restructured as dataclasses over a category table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
 
 import numpy as np
 
-
-class ObservableSpec(collections.namedtuple(
-    'ObservableSpec',
-    ['enabled', 'update_interval', 'buffer_size', 'delay', 'aggregator',
-     'corruptor'])):
-  """Configuration options for generic observables."""
-  __slots__ = ()
+CATEGORIES = ('proprio', 'ftt', 'prop_pose', 'camera')
 
 
-class CameraObservableSpec(collections.namedtuple(
-    'CameraObservableSpec', ('height', 'width') + ObservableSpec._fields)):
-  """Configuration options for camera observables."""
-  __slots__ = ()
+@dataclasses.dataclass(frozen=True)
+class ObservableSpec:
+  """Configuration applied to a single observable."""
+  enabled: bool = False
+  update_interval: int = 1
+  buffer_size: int = 1
+  delay: int = 0
+  aggregator: Optional[Callable] = None
+  corruptor: Optional[Callable] = None
+
+  def _asdict(self):
+    return dataclasses.asdict(self)
+
+  def _replace(self, **changes):
+    return dataclasses.replace(self, **changes)
 
 
-class ObservationSettings(collections.namedtuple(
-    'ObservationSettings', ['proprio', 'ftt', 'prop_pose', 'camera'])):
-  """Container of `ObservableSpecs` grouped by category."""
-  __slots__ = ()
+@dataclasses.dataclass(frozen=True)
+class CameraObservableSpec(ObservableSpec):
+  """Observable configuration plus render size for cameras."""
+  height: int = 84
+  width: int = 84
 
 
-class ObservableNames(collections.namedtuple(
-    'ObservableNames', ['proprio', 'ftt', 'prop_pose', 'camera'])):
-  """Container that groups the names of observables by category."""
-  __slots__ = ()
+@dataclasses.dataclass(frozen=True)
+class ObservationSettings:
+  """One ObservableSpec per category."""
+  proprio: ObservableSpec
+  ftt: ObservableSpec
+  prop_pose: ObservableSpec
+  camera: CameraObservableSpec
 
-  def __new__(cls, proprio=(), ftt=(), prop_pose=(), camera=()):
-    return super().__new__(cls, proprio=proprio, ftt=ftt,
-                           prop_pose=prop_pose, camera=camera)
+  def _asdict(self):
+    return {c: getattr(self, c) for c in CATEGORIES}
 
 
-_DISABLED_FEATURE = ObservableSpec(
-    enabled=False, update_interval=1, buffer_size=1, delay=0,
-    aggregator=None, corruptor=None)
-_ENABLED_FEATURE = _DISABLED_FEATURE._replace(enabled=True)
+@dataclasses.dataclass(frozen=True)
+class ObservableNames:
+  """Observable names grouped by category, for one entity."""
+  proprio: Tuple[str, ...] = ()
+  ftt: Tuple[str, ...] = ()
+  prop_pose: Tuple[str, ...] = ()
+  camera: Tuple[str, ...] = ()
 
-# force/torque/touch readings pass through a symmetric log transform
-_symlog1p = lambda x, random_state: np.sign(x) * np.log1p(abs(x))
-_DISABLED_FTT = _DISABLED_FEATURE._replace(corruptor=_symlog1p)
-_ENABLED_FTT = _ENABLED_FEATURE._replace(corruptor=_symlog1p)
 
-_DISABLED_CAMERA = CameraObservableSpec(
-    height=84, width=84, enabled=False, update_interval=1,
-    buffer_size=1, delay=0, aggregator=None, corruptor=None)
-_ENABLED_CAMERA = _DISABLED_CAMERA._replace(enabled=True)
+def _signed_log1p(value, random_state):
+  """Compresses force/torque/touch magnitudes symmetrically."""
+  del random_state
+  return np.sign(value) * np.log1p(np.abs(value))
+
+
+_ON = ObservableSpec(enabled=True)
+_OFF = ObservableSpec(enabled=False)
 
 PERFECT_FEATURES = ObservationSettings(
-    proprio=_ENABLED_FEATURE, ftt=_ENABLED_FTT,
-    prop_pose=_ENABLED_FEATURE, camera=_DISABLED_CAMERA)
+    proprio=_ON,
+    ftt=_ON._replace(corruptor=_signed_log1p),
+    prop_pose=_ON,
+    camera=CameraObservableSpec(enabled=False))
 
 VISION = ObservationSettings(
-    proprio=_ENABLED_FEATURE, ftt=_ENABLED_FTT,
-    prop_pose=_DISABLED_FEATURE, camera=_ENABLED_CAMERA)
+    proprio=_ON,
+    ftt=_ON._replace(corruptor=_signed_log1p),
+    prop_pose=_OFF,
+    camera=CameraObservableSpec(enabled=True))
 
 JACO_ARM_OBSERVABLES = ObservableNames(
-    proprio=['joints_pos', 'joints_vel'], ftt=['joints_torque'])
+    proprio=('joints_pos', 'joints_vel'),
+    ftt=('joints_torque',))
+
 JACO_HAND_OBSERVABLES = ObservableNames(
-    proprio=['joints_pos', 'joints_vel', 'pinch_site_pos',
-             'pinch_site_rmat'])
+    proprio=('joints_pos', 'joints_vel', 'pinch_site_pos',
+             'pinch_site_rmat'))
+
 FREEPROP_OBSERVABLES = ObservableNames(
-    prop_pose=['position', 'orientation', 'linear_velocity',
-               'angular_velocity'])
+    prop_pose=('position', 'orientation', 'linear_velocity',
+               'angular_velocity'))
 
 
-def make_options(obs_settings, obs_names):
-  """{observable_name: {option: value}} for a named observable set."""
-  observable_options = {}
-  for category, spec in obs_settings._asdict().items():
-    for observable_name in getattr(obs_names, category):
-      observable_options[observable_name] = spec._asdict()
-  return observable_options
+def make_options(obs_settings: ObservationSettings,
+                 obs_names: ObservableNames):
+  """{observable_name: configure-kwargs} for a named observable group."""
+  return {
+      name: getattr(obs_settings, category)._asdict()
+      for category in CATEGORIES
+      for name in getattr(obs_names, category)
+  }

@@ -1,5 +1,9 @@
-"""Workspace definition and visualization helpers
-(reference manipulation/shared/workspaces.py:15-87)."""
+"""Workspace regions and their debug visualizations.
+
+Behavioral contract: reference manipulation/shared/workspaces.py —
+BoundingBox regions, a shared down-facing TCP quaternion, uniform-yaw
+prop orientation, and invisible task-group sites marking spawn regions.
+"""
 
 import collections
 
@@ -10,32 +14,31 @@ from dm_control_tpu.composer.variation import rotations
 from dm_control_tpu.entities.manipulators import base
 from dm_control_tpu.manipulation.shared import constants
 
-_MIN_SITE_DIMENSION = 1e-6
-
 DOWN_QUATERNION = base.DOWN_QUATERNION
 
 BoundingBox = collections.namedtuple('BoundingBox', ['lower', 'upper'])
 
-# single_sample: PropPlacer passes the previous quaternion as
-# initial_value; without it the angle would inherit its length-4 shape
+# Yaw-only random orientation. single_sample: PropPlacer feeds the
+# previous quaternion as initial_value, which would otherwise broadcast
+# the scalar angle to length 4.
 uniform_z_rotation = rotations.QuaternionFromAxisAngle(
     axis=(0., 0., 1.),
     angle=distributions.Uniform(-np.pi, np.pi, single_sample=True))
 
 
+def _site_group(visible):
+  return None if visible else constants.TASK_SITE_GROUP
+
+
 def add_bbox_site(body, lower, upper, visible=False, **kwargs):
-  """Adds a box site visualizing a bounding box."""
-  upper = np.array(upper)
-  lower = np.array(lower)
-  pos = (upper + lower) / 2.
-  size = np.maximum((upper - lower) / 2., _MIN_SITE_DIMENSION)
-  group = None if visible else constants.TASK_SITE_GROUP
-  return body.add('site', type='box', pos=pos, size=size, group=group,
-                  **kwargs)
+  """Marks an axis-aligned box region with a site."""
+  lower, upper = np.asarray(lower), np.asarray(upper)
+  half = np.maximum((upper - lower) / 2., 1e-6)
+  return body.add('site', type='box', pos=(lower + upper) / 2.,
+                  size=half, group=_site_group(visible), **kwargs)
 
 
 def add_target_site(body, radius, visible=False, **kwargs):
-  """Adds a sphere site visualizing a target location."""
-  group = None if visible else constants.TASK_SITE_GROUP
-  return body.add('site', type='sphere', size=[radius], group=group,
-                  **kwargs)
+  """Marks a spherical target location with a site."""
+  return body.add('site', type='sphere', size=[radius],
+                  group=_site_group(visible), **kwargs)
