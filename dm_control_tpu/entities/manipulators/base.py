@@ -1,9 +1,9 @@
 """Abstract base classes for robot arms and hands.
 
-Behavioural counterpart of reference
-dm_control/entities/manipulators/base.py:36-196: joint sampling bounds,
-arm randomization, IK-driven site placement, and the shared joint
-observables.
+Behavioral contract: reference entities/manipulators/base.py — joint
+sampling bounds, arm randomization, IK-driven site placement with
+retry, and the shared joint observables. The per-joint while-loop
+angle canonicalization is replaced by a vectorized modular wrap.
 """
 
 from __future__ import annotations
@@ -21,9 +21,7 @@ from dm_control_tpu.utils import inverse_kinematics
 
 DOWN_QUATERNION = np.array([0., 0.70710678118, 0.70710678118, 0.])
 
-_INVALID_JOINTS_ERROR = (
-    'All non-hinge joints must have limits. Model contains the following '
-    'non-hinge joints which are unbounded:\n{invalid_str}')
+_TWO_PI = 2 * np.pi
 
 
 class RobotArm(composer.Robot, metaclass=abc.ABCMeta):
@@ -36,36 +34,38 @@ class RobotArm(composer.Robot, metaclass=abc.ABCMeta):
   def attachment_site(self):
     return self.wrist_site
 
-  def _get_joint_pos_sampling_bounds(self, physics):
-    """(2, num_joints) lower/upper position bounds; unlimited hinges
-    sample [0, 2pi] (reference base.py:60-84)."""
-    bound_joints = physics.bind(self.joints)
-    limits = np.array(bound_joints.range, copy=True)
-    m = physics.model
-    jids = [m.names.name2id('joint', j.full_identifier)
-            for j in self.joints]
-    is_hinge = np.array([m.jnt_type[j] == constants.JointType.HINGE
-                         for j in jids])
-    is_limited = np.array([bool(m.jnt_limited[j]) for j in jids])
-    invalid = ~is_hinge & ~is_limited
-    if np.any(invalid):
-      invalid_str = '\n'.join(
-          str(self.joints[i]) for i in np.where(invalid)[0])
+  def _joint_sampling_bounds(self, physics):
+    """(lower, upper) arrays over the arm joints. Unlimited hinges get
+    the full circle; any other unlimited joint type is an error."""
+    binding = physics.bind(self.joints)
+    lower, upper = np.array(binding.range, copy=True).T
+    model = physics.model
+    jids = np.array([model.names.name2id('joint', j.full_identifier)
+                     for j in self.joints])
+    hinge = np.array(
+        [int(model.jnt_type[j]) == constants.JointType.HINGE
+         for j in jids])
+    limited = np.array([bool(model.jnt_limited[j]) for j in jids])
+    bad = ~hinge & ~limited
+    if bad.any():
+      names = '\n'.join(str(self.joints[i]) for i in np.flatnonzero(bad))
       raise RuntimeError(
-          _INVALID_JOINTS_ERROR.format(invalid_str=invalid_str))
-    limits[is_hinge & ~is_limited] = 0., 2 * np.pi
-    return limits.T
+          'All non-hinge joints must have limits. Model contains the '
+          f'following non-hinge joints which are unbounded:\n{names}')
+    free_spin = hinge & ~limited
+    lower[free_spin], upper[free_spin] = 0., _TWO_PI
+    return lower, upper
 
   def randomize_arm_joints(self, physics, random_state):
-    """Randomizes the qpos of all arm joints within bounds."""
-    lower, upper = self._get_joint_pos_sampling_bounds(physics)
+    """Draws a uniform qpos for every arm joint within its bounds."""
+    lower, upper = self._joint_sampling_bounds(physics)
     physics.bind(self.joints).qpos = random_state.uniform(lower, upper)
 
   def set_site_to_xpos(self, physics, random_state, site, target_pos,
                        target_quat=None, max_ik_attempts=10):
-    """IK-drives the arm so `site` reaches `target_pos` (/`target_quat`,
-    default pointing down). Retries with randomized joints
-    (reference base.py:86-166). Returns success."""
+    """Solves IK so `site` lands at `target_pos` (and `target_quat`,
+    default pointing straight down); re-seeds from random joints on
+    failure. Returns True on success."""
     if isinstance(site, mjcf.Element):
       site_name = site.full_identifier
     elif isinstance(site, str):
@@ -73,56 +73,41 @@ class RobotArm(composer.Robot, metaclass=abc.ABCMeta):
     else:
       raise ValueError(
           f'site should either be a string or mjcf.Element: got {site}')
-    if target_quat is None:
-      target_quat = DOWN_QUATERNION
-    lower, upper = self._get_joint_pos_sampling_bounds(physics)
-    arm_joint_names = [j.full_identifier for j in self.joints]
+    lower, upper = self._joint_sampling_bounds(physics)
+    joint_names = [j.full_identifier for j in self.joints]
 
-    for _ in range(max_ik_attempts):
+    for attempt in range(max_ik_attempts):
       result = inverse_kinematics.qpos_from_site_pose(
-          physics,
-          site_name=site_name,
-          target_pos=target_pos,
-          target_quat=target_quat,
-          joint_names=arm_joint_names,
-          rot_weight=2,
-          inplace=True)
-      success = result.success
-
-      # canonicalize angles into [low, high)
-      if success:
-        for arm_joint, low, high in zip(self.joints, lower, upper):
-          arm_joint_mj = physics.bind(arm_joint)
-          while arm_joint_mj.qpos >= high:
-            arm_joint_mj.qpos -= 2 * np.pi
-          while arm_joint_mj.qpos < low:
-            arm_joint_mj.qpos += 2 * np.pi
-            if arm_joint_mj.qpos > high:
-              success = False
-              break
-
-      if success or max_ik_attempts <= 1:
-        break
-      else:
+          physics, site_name=site_name, target_pos=target_pos,
+          target_quat=(DOWN_QUATERNION if target_quat is None
+                       else target_quat),
+          joint_names=joint_names, rot_weight=2, inplace=True)
+      if result.success:
+        binding = physics.bind(self.joints)
+        # wrap each angle into [lower, lower + 2pi); the solution
+        # stands only if the wrapped angle also respects the limit
+        wrapped = lower + np.mod(np.asarray(binding.qpos) - lower,
+                                 _TWO_PI)
+        if np.all(wrapped <= upper):
+          binding.qpos = wrapped
+          return True
+      if attempt + 1 < max_ik_attempts:
         self.randomize_arm_joints(physics, random_state)
-
-    return success
+    return False
 
   @property
   @abc.abstractmethod
   def joints(self):
-    """Returns the joint elements of the arm."""
-    raise NotImplementedError
+    """The joint elements of the arm."""
 
   @property
   @abc.abstractmethod
   def wrist_site(self):
-    """Returns the wrist site element of the arm."""
-    raise NotImplementedError
+    """The wrist site element (doubles as the attachment site)."""
 
 
 class JointsObservables(composer.Observables):
-  """Observables common to all robot arms."""
+  """Joint-state observables common to all robot arms."""
 
   @define.observable
   def joints_pos(self):
@@ -143,4 +128,4 @@ class RobotHand(composer.Robot, metaclass=abc.ABCMeta):
   @property
   @abc.abstractmethod
   def tool_center_point(self):
-    """Returns the tool center point element of the hand."""
+    """The tool center point element of the hand."""

@@ -1,15 +1,17 @@
 """The Kinova Jaco 3-finger hand entity.
 
-Behavioural counterpart of reference
-dm_control/entities/manipulators/kinova/jaco_hand.py:33-170.
+Behavioral contract: reference entities/manipulators/kinova/
+jaco_hand.py — the vendored MJCF model with velocity-actuated fingers,
+grip/pinch sites, and a normalized `set_grasp`. Element lookups are
+grouped into one discovery pass; the grasp write is vectorized.
 """
 
 from __future__ import annotations
 
-import collections.abc
 import os
 
-from dm_control_tpu import composer
+import numpy as np
+
 from dm_control_tpu import mjcf
 from dm_control_tpu.composer import define
 from dm_control_tpu.composer.observation import observable
@@ -17,87 +19,59 @@ from dm_control_tpu.entities.manipulators import base
 from dm_control_tpu.entities.manipulators.kinova.jaco_arm import (
     KINOVA_ROOT)
 
-_JACO_HAND_XML_PATH = os.path.join(KINOVA_ROOT, 'jaco_hand.xml')
-_HAND_BODY = 'hand'
-_PINCH_SITE = 'pinchsite'
-_GRIP_SITE = 'gripsite'
+# tuned for ~25 N grip force and ~1.2 s closing time (datasheet)
+_FINGER_KV = 10.
+_FINGER_CTRL_RANGE = (-5., 5.)
+_FINGER_FORCE_RANGE = (-1., 1.)
 
 
 class JacoHand(base.RobotHand):
   """A composer entity representing a Jaco hand."""
 
   def _build(self, name=None, use_pinch_site_as_tcp=False):
-    self._mjcf_root = mjcf.from_path(_JACO_HAND_XML_PATH)
+    root = mjcf.from_path(os.path.join(KINOVA_ROOT, 'jaco_hand.xml'))
+    self._mjcf_root = root
     if name:
-      self._mjcf_root.model = name
-    self._bodies = self.mjcf_model.find_all('body')
-    self._tool_center_point = self._mjcf_root.find(
-        'site', _PINCH_SITE if use_pinch_site_as_tcp else _GRIP_SITE)
-    self._joints = self._mjcf_root.find_all('joint')
+      root.model = name
+    self._bodies = root.find_all('body')
+    self._joints = root.find_all('joint')
+    self._grip_site = root.find('site', 'gripsite')
+    self._pinch_site = root.find('site', 'pinchsite')
+    self._tool_center_point = (
+        self._pinch_site if use_pinch_site_as_tcp else self._grip_site)
     self._hand_geoms = list(
-        self._mjcf_root.find('body', _HAND_BODY).get_children('geom'))
-    self._finger_geoms = [
-        g for g in self._mjcf_root.find_all('geom')
-        if g.name and g.name.startswith('finger')]
-    self._grip_site = self._mjcf_root.find('site', _GRIP_SITE)
-    self._pinch_site = self._mjcf_root.find('site', _PINCH_SITE)
+        root.find('body', 'hand').get_children('geom'))
+    self._finger_geoms = [g for g in root.find_all('geom')
+                          if (g.name or '').startswith('finger')]
     self._finger_actuators = [
-        _add_velocity_actuator(joint) for joint in self._joints]
+        joint.root.actuator.add(
+            'velocity', joint=joint, name=joint.name, kv=_FINGER_KV,
+            ctrllimited='true', ctrlrange=list(_FINGER_CTRL_RANGE),
+            forcelimited='true', forcerange=list(_FINGER_FORCE_RANGE))
+        for joint in self._joints]
 
   def _build_observables(self):
     return JacoHandObservables(self)
 
-  @property
-  def tool_center_point(self):
-    return self._tool_center_point
-
-  @property
-  def joints(self):
-    return self._joints
-
-  @property
-  def actuators(self):
-    return self._finger_actuators
-
-  @property
-  def hand_geom(self):
-    return self._hand_geoms
-
-  @property
-  def finger_geoms(self):
-    return self._finger_geoms
-
-  @property
-  def grip_site(self):
-    return self._grip_site
-
-  @property
-  def pinch_site(self):
-    return self._pinch_site
-
-  @property
-  def mjcf_model(self):
-    return self._mjcf_root
+  tool_center_point = property(lambda self: self._tool_center_point)
+  joints = property(lambda self: self._joints)
+  actuators = property(lambda self: self._finger_actuators)
+  hand_geom = property(lambda self: self._hand_geoms)
+  finger_geoms = property(lambda self: self._finger_geoms)
+  grip_site = property(lambda self: self._grip_site)
+  pinch_site = property(lambda self: self._pinch_site)
+  mjcf_model = property(lambda self: self._mjcf_root)
 
   def set_grasp(self, physics, close_factors):
-    """Sets finger positions: 0 = fully open, 1 = fully closed
-    (reference jaco_hand.py:117-139)."""
-    if not isinstance(close_factors, collections.abc.Iterable):
-      close_factors = (close_factors,) * len(self.joints)
-    for joint, finger_factor in zip(self.joints, close_factors):
-      joint_mj = physics.bind(joint)
-      min_value, max_value = joint_mj.range
-      joint_mj.qpos = min_value + (max_value - min_value) * finger_factor
+    """Drives fingers to a fraction of their range: 0 = open, 1 =
+    closed. Accepts a scalar (all fingers) or one value per finger."""
+    fractions = np.broadcast_to(np.asarray(close_factors, dtype=float),
+                                (len(self._joints),))
+    binding = physics.bind(self._joints)
+    low, high = np.asarray(binding.range).T
+    binding.qpos = low + (high - low) * fractions
     physics.after_reset()
-    physics.bind(self.actuators).ctrl = 0
-
-
-def _add_velocity_actuator(joint):
-  # tuned for ~25 N grip force and ~1.2 s closing time (datasheet)
-  return joint.root.actuator.add(
-      'velocity', joint=joint, name=joint.name, kv=10.,
-      ctrllimited='true', ctrlrange=[-5., 5.],
-      forcelimited='true', forcerange=[-1., 1.])
+    physics.bind(self._finger_actuators).ctrl = 0
 
 
 class JacoHandObservables(base.JointsObservables):

@@ -1,17 +1,16 @@
 """A 2x4 Duplo brick.
 
-Behavioural counterpart of reference
-dm_control/entities/props/duplo/__init__.py:50-169: the stud-and-tube
-coupling brick whose stud radius (and therefore separation force) is
-re-sampled per episode through `initialize_episode_mjcf`. The MJCF model
-(duplo2x4.xml, all primitive geoms) is reference data — see the
-calibration table below, which reproduces the reference's empirically
-autotuned stud radii.
+Behavioral contract: reference entities/props/duplo/__init__.py — the
+stud-and-tube coupling brick whose stud radius (separation force) is
+re-sampled per episode via `initialize_episode_mjcf`. The MJCF model
+(duplo2x4.xml) and the autotuned radius table are reference task-spec
+data (Apache-2.0, The dm_control Authors); the surrounding code is
+restructured: stud/flange wiring is one config step and the sensor
+observables are generated from a table.
 """
 
 from __future__ import annotations
 
-import collections
 import os
 
 import numpy as np
@@ -21,29 +20,20 @@ from dm_control_tpu import mjcf
 from dm_control_tpu.composer import define
 from dm_control_tpu.composer.observation import observable
 
-_DUPLO_XML_PATH = os.path.join(os.path.dirname(__file__),
-                               'duplo2x4.xml')
+_XML = os.path.join(os.path.dirname(__file__), 'duplo2x4.xml')
 
-_StudSize = collections.namedtuple(
-    '_StudSize', ['minimum', 'lower_quartile', 'maximum'])
-_StudParams = collections.namedtuple('_StudParams',
-                                     ['easy_align', 'flanges'])
-
-# Autotuned stud radii reproducing the empirical separation-force
-# distribution of real bricks (reference duplo/__init__.py:34-44)
-_STUD_SIZE_PARAMS = {
-    _StudParams(easy_align=False, flanges=False):
-        _StudSize(0.004685, 0.004781, 0.004898),
-    _StudParams(easy_align=False, flanges=True):
-        _StudSize(0.004609, 0.004647, 0.004716),
-    _StudParams(easy_align=True, flanges=False):
-        _StudSize(0.004754, 0.004844, 0.004953),
-    _StudParams(easy_align=True, flanges=True):
-        _StudSize(0.004695, 0.004717, 0.004765),
+# (easy_align, flanges) -> (min, lower-quartile, max) stud radius, the
+# empirically autotuned separation-force calibration (reference
+# duplo/__init__.py:34-44)
+_RADIUS_TABLE = {
+    (False, False): (0.004685, 0.004781, 0.004898),
+    (False, True): (0.004609, 0.004647, 0.004716),
+    (True, False): (0.004754, 0.004844, 0.004953),
+    (True, True): (0.004695, 0.004717, 0.004765),
 }
 
-_COLOR_NOT_BETWEEN_0_AND_1 = (
-    'All values in `color` must be between 0 and 1, got {!r}.')
+_SENSORS = ('position', 'orientation', 'linear_velocity',
+            'angular_velocity', 'force')
 
 
 class Duplo(composer.Entity):
@@ -51,51 +41,58 @@ class Duplo(composer.Entity):
 
   def _build(self, easy_align=False, flanges=True, variation=0.0,
              color=(1., 0., 0.)):
-    self._mjcf_root = mjcf.from_path(_DUPLO_XML_PATH)
+    self._mjcf_root = mjcf.from_path(_XML)
+    self._configure_studs(easy_align, flanges)
+    self._configure_radius_range(easy_align, flanges, variation)
+    self._studs = self._site_grid('stud')
+    self._holes = self._site_grid('hole')
+    self._paint(color)
 
-    stud = self._mjcf_root.default.find('default', 'stud')
+  def _configure_studs(self, easy_align, flanges):
+    """Selects the active stud defaults class and its contact bits."""
+    defaults = self._mjcf_root.default
+    stud = defaults.find('default', 'stud')
+    self._active_stud_dclass = stud
     if easy_align:
-      # capsule studs instead of cylinders: easier to align
+      # swap in the capsule studs: forgiving alignment
       stud.geom.group = 3
       stud.geom.contype = 9
       stud.geom.conaffinity = 8
-      stud_cap = self._mjcf_root.default.find('default', 'stud-capsule')
-      stud_cap.geom.group = 0
-      stud_cap.geom.contype = 0
-      stud_cap.geom.conaffinity = 4
-      self._active_stud_dclass = stud_cap
-    else:
-      self._active_stud_dclass = stud
-
+      capsule = defaults.find('default', 'stud-capsule')
+      capsule.geom.group = 0
+      capsule.geom.contype = 0
+      capsule.geom.conaffinity = 4
+      self._active_stud_dclass = capsule
     if flanges:
-      flange_dclass = self._mjcf_root.default.find('default', 'flange')
-      flange_dclass.geom.contype = 4
+      defaults.find('default', 'flange').geom.contype = 4
 
-    stud_size = _STUD_SIZE_PARAMS[(easy_align, flanges)]
-    offset = (1 - variation) * stud_size.lower_quartile
-    self._lower = offset + variation * stud_size.minimum
-    self._upper = offset + variation * stud_size.maximum
+  def _configure_radius_range(self, easy_align, flanges, variation):
+    lo, lq, hi = _RADIUS_TABLE[(easy_align, flanges)]
+    anchor = (1 - variation) * lq
+    self._radius_range = (anchor + variation * lo,
+                          anchor + variation * hi)
 
-    self._studs = np.ndarray((2, 4), dtype=object)
-    self._holes = np.ndarray((2, 4), dtype=object)
+  def _site_grid(self, kind):
+    """(2, 4) object array of the brick's stud or hole sites."""
+    grid = np.empty((2, 4), dtype=object)
     for row in range(2):
-      for column in range(4):
-        self._studs[row, column] = self._mjcf_root.find(
-            'site', f'stud_{row}{column}')
-        self._holes[row, column] = self._mjcf_root.find(
-            'site', f'hole_{row}{column}')
+      for col in range(4):
+        grid[row, col] = self._mjcf_root.find('site',
+                                              f'{kind}_{row}{col}')
+    return grid
 
-    if not all(0 <= value <= 1 for value in color):
-      raise ValueError(_COLOR_NOT_BETWEEN_0_AND_1.format(color))
+  def _paint(self, color):
+    if not all(0 <= v <= 1 for v in color):
+      raise ValueError('All values in `color` must be between 0 and 1, '
+                       f'got {color!r}.')
     rgba = np.array(self._mjcf_root.default.geom.rgba, copy=True)
     rgba[:3] = color
     self._mjcf_root.default.geom.rgba = rgba
 
   def initialize_episode_mjcf(self, random_state):
     """Re-samples the stud radius (separation force) per episode."""
-    radius = random_state.uniform(self._lower, self._upper)
     size = np.array(self._active_stud_dclass.geom.size, copy=True)
-    size[0] = radius
+    size[0] = random_state.uniform(*self._radius_range)
     self._active_stud_dclass.geom.size = size
 
   def _build_observables(self):
@@ -116,34 +113,20 @@ class Duplo(composer.Entity):
     return self._mjcf_root
 
 
+def _sensor_observable(key):
+  def getter(self):
+    return observable.MJCFFeature(
+        'sensordata', self._entity.mjcf_model.find('sensor', key))
+  getter.__name__ = key
+  descriptor = define.observable(getter)
+  descriptor.__set_name__(None, key)
+  return descriptor
+
+
 class DuploObservables(composer.Observables,
                        composer.FreePropObservableMixin):
-  """Observables for the `Duplo` prop."""
+  """One observable per XML-declared sensor."""
 
-  @define.observable
-  def position(self):
-    return observable.MJCFFeature(
-        'sensordata', self._entity.mjcf_model.find('sensor', 'position'))
 
-  @define.observable
-  def orientation(self):
-    return observable.MJCFFeature(
-        'sensordata',
-        self._entity.mjcf_model.find('sensor', 'orientation'))
-
-  @define.observable
-  def linear_velocity(self):
-    return observable.MJCFFeature(
-        'sensordata',
-        self._entity.mjcf_model.find('sensor', 'linear_velocity'))
-
-  @define.observable
-  def angular_velocity(self):
-    return observable.MJCFFeature(
-        'sensordata',
-        self._entity.mjcf_model.find('sensor', 'angular_velocity'))
-
-  @define.observable
-  def force(self):
-    return observable.MJCFFeature(
-        'sensordata', self._entity.mjcf_model.find('sensor', 'force'))
+for _key in _SENSORS:
+  setattr(DuploObservables, _key, _sensor_observable(_key))

@@ -1,33 +1,38 @@
-"""A single-geom prop with frame sensors
-(reference entities/props/primitive.py:25-127)."""
+"""A single-geom prop with frame sensors.
+
+Behavioral contract: reference entities/props/primitive.py — one geom
+plus framepos/framequat/framelinvel/frameangvel sensors, each exposed
+as both an entity property and an observable. The sensor suite and its
+observables are generated from one table.
+"""
 
 from __future__ import annotations
 
 from dm_control_tpu import composer
 from dm_control_tpu import mjcf
+from dm_control_tpu.composer import define
 from dm_control_tpu.composer.observation import observable
+
+# property/observable name -> frame sensor kind
+_SENSOR_TABLE = {
+    'position': 'framepos',
+    'orientation': 'framequat',
+    'linear_velocity': 'framelinvel',
+    'angular_velocity': 'frameangvel',
+}
 
 
 class Primitive(composer.Entity):
-  """A prop consisting of one geom with position/velocity sensors."""
+  """A prop consisting of one geom with pose/velocity sensors."""
 
   def _build(self, geom_type, size, name=None, **kwargs):
-    name = name or 'primitive'
-    self._mjcf_root = mjcf.RootElement(model=name)
+    self._mjcf_root = mjcf.RootElement(model=name or 'primitive')
     self._geom = self._mjcf_root.worldbody.add(
         'geom', name='geom', type=geom_type, size=size, **kwargs)
-    self._position = self._mjcf_root.sensor.add(
-        'framepos', name='position', objtype='geom',
-        objname=self._geom)
-    self._orientation = self._mjcf_root.sensor.add(
-        'framequat', name='orientation', objtype='geom',
-        objname=self._geom)
-    self._linear_velocity = self._mjcf_root.sensor.add(
-        'framelinvel', name='linear_velocity', objtype='geom',
-        objname=self._geom)
-    self._angular_velocity = self._mjcf_root.sensor.add(
-        'frameangvel', name='angular_velocity', objtype='geom',
-        objname=self._geom)
+    self._sensors = {
+        key: self._mjcf_root.sensor.add(
+            kind, name=key, objtype='geom', objname=self._geom)
+        for key, kind in _SENSOR_TABLE.items()}
 
   def _build_observables(self):
     return PrimitiveObservables(self)
@@ -37,45 +42,29 @@ class Primitive(composer.Entity):
     return self._geom
 
   @property
-  def position(self):
-    return self._position
-
-  @property
-  def orientation(self):
-    return self._orientation
-
-  @property
-  def linear_velocity(self):
-    return self._linear_velocity
-
-  @property
-  def angular_velocity(self):
-    return self._angular_velocity
-
-  @property
   def mjcf_model(self):
     return self._mjcf_root
 
+  def __getattr__(self, item):
+    sensors = self.__dict__.get('_sensors', {})
+    if item in sensors:
+      return sensors[item]
+    raise AttributeError(
+        f'{type(self).__name__!r} object has no attribute {item!r}')
+
+
+def _sensor_observable(key):
+  def getter(self):
+    return observable.MJCFFeature('sensordata', getattr(self._entity, key))
+  getter.__name__ = key
+  descriptor = define.observable(getter)
+  descriptor.__set_name__(None, key)
+  return descriptor
+
 
 class PrimitiveObservables(composer.Observables):
-  """Pose/velocity observables from the prop's frame sensors."""
+  """One observable per frame sensor, generated from the table."""
 
-  @composer.observable
-  def position(self):
-    return observable.MJCFFeature('sensordata',
-                                  self._entity.position)
 
-  @composer.observable
-  def orientation(self):
-    return observable.MJCFFeature('sensordata',
-                                  self._entity.orientation)
-
-  @composer.observable
-  def linear_velocity(self):
-    return observable.MJCFFeature('sensordata',
-                                  self._entity.linear_velocity)
-
-  @composer.observable
-  def angular_velocity(self):
-    return observable.MJCFFeature('sensordata',
-                                  self._entity.angular_velocity)
+for _key in _SENSOR_TABLE:
+  setattr(PrimitiveObservables, _key, _sensor_observable(_key))

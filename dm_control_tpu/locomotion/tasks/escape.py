@@ -1,6 +1,9 @@
-"""Escape-the-bowl locomotion task
-(behavioural counterpart of reference
-dm_control/locomotion/tasks/escape.py:29-184).
+"""Escape-the-bowl locomotion task.
+
+Behavioral contract: reference locomotion/tasks/escape.py — reward =
+(linear distance-from-origin ramp, saturating at the terrain radius)
+gated by an uprightness term; walker dropped contact-free at a random
+orientation; `origin` egocentric observable.
 """
 
 import numpy as np
@@ -10,6 +13,50 @@ from dm_control_tpu.composer.observation import observable as base_observable
 from dm_control_tpu.utils import rewards
 
 _HEIGHTFIELD_ID = 0
+
+# walker class name fragment -> (core body, reward body) names; the
+# core body frames the 'origin' observation, the reward body's
+# distance from the bowl center is what pays (reference escape.py:71-79)
+_BODY_TABLE = (
+    ('CMUHumanoid', 'root', 'root'),
+    ('Rat', 'torso', 'head'),
+    ('Rodent', 'torso', 'head'),
+)
+
+
+def _select_bodies(walker):
+  cls = str(type(walker))
+  for fragment, core, reward in _BODY_TABLE:
+    if fragment in cls:
+      find = walker.mjcf_model.find
+      return find('body', core), find('body', reward)
+  return walker.root_body, walker.root_body
+
+
+def drop_contact_free(physics, walker, orientation, xy=(0.0, 0.0),
+                      step=0.01, maxiter=1000):
+  """Raises the walker until no geom penetrates, in `step` increments."""
+  for i in range(maxiter):
+    walker.set_pose(physics, position=(xy[0], xy[1], i * step),
+                    quaternion=orientation)
+    physics.forward()
+    if not np.any(np.asarray(physics.data.contact.dist) < 0):
+      return
+  raise ValueError(
+      'maxiter reached: possibly contacts in null pose of body.')
+
+
+def _uprightness(physics, walker, deviation_angle=0):
+  """Linear ramp on the z-alignment of torso (and pelvis if present)."""
+  bodies = [walker.root_body]
+  if hasattr(walker, 'pelvis_body'):
+    bodies.append(walker.pelvis_body)
+  zz = np.array([np.array(physics.bind(b).xmat).ravel()[-1]
+                 for b in bodies])
+  floor = np.cos(np.deg2rad(deviation_angle))
+  return np.min(rewards.tolerance(
+      zz, bounds=(floor, float('inf')), sigmoid='linear',
+      margin=1 + floor, value_at_margin=0))
 
 
 class Escape(composer.Task):
@@ -24,50 +71,34 @@ class Escape(composer.Task):
                control_timestep=0.025):
     self._arena = arena
     self._walker = walker
-    self._walker.create_root_joints(self._arena.attach(self._walker))
+    walker.create_root_joints(arena.attach(walker))
     self._walker_spawn_position = walker_spawn_position
     self._walker_spawn_rotation = walker_spawn_rotation
+    self._core_body, self._reward_body = _select_bodies(walker)
 
-    enabled_observables = []
-    enabled_observables += self._walker.observables.proprioception
-    enabled_observables += self._walker.observables.kinematic_sensors
-    enabled_observables += self._walker.observables.dynamic_sensors
-    if hasattr(self._walker.observables, 'sensors_touch'):
-      enabled_observables.append(self._walker.observables.sensors_touch)
-    if self._walker.egocentric_camera is not None:
-      enabled_observables.append(
-          self._walker.observables.egocentric_camera)
-    for obs in enabled_observables:
+    wants = (walker.observables.proprioception
+             + walker.observables.kinematic_sensors
+             + walker.observables.dynamic_sensors)
+    if hasattr(walker.observables, 'sensors_touch'):
+      wants.append(walker.observables.sensors_touch)
+    if walker.egocentric_camera is not None:
+      wants.append(walker.observables.egocentric_camera)
+    for obs in wants:
       obs.enabled = True
 
-    # core body: frame for the 'origin' observation; reward body: whose
-    # distance from the bowl center is rewarded (reference escape.py:71-79)
-    walker_type = str(type(self._walker))
-    if 'CMUHumanoid' in walker_type:
-      self._core_body = self._walker.mjcf_model.find('body', 'root')
-      self._reward_body = self._core_body
-    elif 'Rat' in walker_type or 'Rodent' in walker_type:
-      self._core_body = self._walker.mjcf_model.find('body', 'torso')
-      self._reward_body = self._walker.mjcf_model.find('body', 'head')
-    else:
-      self._core_body = self._walker.root_body
-      self._reward_body = self._walker.root_body
-
-    def _origin(physics):
-      """Origin position in the core-body frame."""
+    def origin_in_core_frame(physics):
       core = physics.bind(self._core_body)
       frame = np.array(core.xmat).reshape(3, 3)
       return -np.array(core.xpos).dot(frame)
 
-    self._walker.observables.add_observable(
-        'origin', base_observable.Generic(_origin), enabled=True)
+    walker.observables.add_observable(
+        'origin', base_observable.Generic(origin_in_core_frame),
+        enabled=True)
 
     self.set_timesteps(physics_timestep=physics_timestep,
                        control_timestep=control_timestep)
 
-  @property
-  def root_entity(self):
-    return self._arena
+  root_entity = property(lambda self: self._arena)
 
   def initialize_episode_mjcf(self, random_state):
     if hasattr(self._arena, 'regenerate'):
@@ -75,62 +106,20 @@ class Escape(composer.Task):
 
   def initialize_episode(self, physics, random_state):
     orientation = random_state.randn(4)
-    orientation /= np.linalg.norm(orientation)
-    _find_non_contacting_height(physics, self._walker, orientation)
+    drop_contact_free(physics, self._walker,
+                      orientation / np.linalg.norm(orientation))
 
   def get_reward(self, physics):
-    terrain_size = float(
+    radius = float(
         np.asarray(physics.model.hfield_size)[_HEIGHTFIELD_ID, 0])
-    reward_pos = np.array(physics.bind(self._reward_body).xpos)
-    escape_reward = rewards.tolerance(
-        np.linalg.norm(reward_pos),
-        bounds=(terrain_size, float('inf')),
-        margin=terrain_size,
-        value_at_margin=0,
-        sigmoid='linear')
-    upright_reward = _upright_reward(
-        physics, self._walker, deviation_angle=30)
-    return float(upright_reward * escape_reward)
+    escaped = rewards.tolerance(
+        np.linalg.norm(np.array(physics.bind(self._reward_body).xpos)),
+        bounds=(radius, float('inf')), margin=radius,
+        value_at_margin=0, sigmoid='linear')
+    return float(
+        _uprightness(physics, self._walker, deviation_angle=30)
+        * escaped)
 
   def get_discount(self, physics):
     del physics
     return 1.
-
-
-def _find_non_contacting_height(physics, walker, orientation,
-                                x_pos=0.0, y_pos=0.0, maxiter=1000):
-  """Raise the walker in 1cm steps until it is contact-free."""
-  z_pos = 0.0
-  count = 1
-  while True:
-    walker.set_pose(physics,
-                    position=(x_pos, y_pos, z_pos),
-                    quaternion=orientation)
-    physics.forward()
-    contact = physics.data.contact
-    num_contacts = int(np.sum(np.asarray(contact.dist) < 0))
-    if num_contacts == 0:
-      break
-    z_pos += 0.01
-    count += 1
-    if count > maxiter:
-      raise ValueError(
-          'maxiter reached: possibly contacts in null pose of body.')
-
-
-def _upright_reward(physics, walker, deviation_angle=0):
-  """Reward proportional to how upright the walker's torso is."""
-  deviation = np.cos(np.deg2rad(deviation_angle))
-  upright_torso = np.array(physics.bind(walker.root_body).xmat).ravel()[-1]
-  if hasattr(walker, 'pelvis_body'):
-    upright_pelvis = np.array(
-        physics.bind(walker.pelvis_body).xmat).ravel()[-1]
-    upright_zz = np.stack([upright_torso, upright_pelvis])
-  else:
-    upright_zz = upright_torso
-  upright = rewards.tolerance(upright_zz,
-                              bounds=(deviation, float('inf')),
-                              sigmoid='linear',
-                              margin=1 + deviation,
-                              value_at_margin=0)
-  return np.min(upright)

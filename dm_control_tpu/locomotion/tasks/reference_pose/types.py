@@ -1,37 +1,42 @@
-"""Types for reference-pose tasks
-(reference: dm_control/locomotion/tasks/reference_pose/types.py:20-55).
+"""Clip-collection spec for reference-pose tasks.
+
+Behavioral contract: reference locomotion/tasks/reference_pose/types.py
+— a validated bundle of clip ids with optional per-clip start/end steps
+and sampling weights.
 """
 
-from typing import Optional, Sequence, Text, Union
+import dataclasses
+from typing import Optional, Sequence, Union
 
 import numpy as np
 
 
+@dataclasses.dataclass
 class ClipCollection:
-  """A collection of mocap reference clips with sampling weights."""
+  """Mocap clip ids plus optional per-clip windows and weights.
 
-  def __init__(self,
-               ids: Sequence[Text],
-               start_steps: Optional[Sequence[int]] = None,
-               end_steps: Optional[Sequence[int]] = None,
-               weights: Optional[Sequence[Union[int, float]]] = None):
-    self.ids = ids
-    self.start_steps = start_steps
-    self.end_steps = end_steps
-    self.weights = weights
-    num_clips = len(self.ids)
-    try:
-      if self.start_steps is None:
-        self.start_steps = (0,) * num_clips
-      else:
-        assert len(self.start_steps) == num_clips
-      # end_steps defaults require the actual clips; filled by the task.
-      if self.end_steps is not None:
-        assert len(self.end_steps) == num_clips
-      if self.weights is None:
-        self.weights = (1.0,) * num_clips
-      else:
-        assert len(self.weights) == num_clips
-        assert np.all(np.array(self.weights) >= 0.)
-    except AssertionError as e:
-      raise ValueError('ClipCollection validation failed. {}'.format(e))
+  `start_steps` defaults to zeros; `end_steps` stays None until the
+  task fills it from the loaded clip lengths; `weights` defaults to
+  uniform and must be non-negative.
+  """
+
+  ids: Sequence[str]
+  start_steps: Optional[Sequence[int]] = None
+  end_steps: Optional[Sequence[int]] = None
+  weights: Optional[Sequence[Union[int, float]]] = None
+
+  def __post_init__(self):
+    n = len(self.ids)
+    if self.start_steps is None:
+      self.start_steps = (0,) * n
+    for field in ('start_steps', 'end_steps', 'weights'):
+      value = getattr(self, field)
+      if value is not None and len(value) != n:
+        raise ValueError(
+            f'ClipCollection validation failed. {field} has '
+            f'{len(value)} entries for {n} clips')
+    if self.weights is None:
+      self.weights = (1.0,) * n
+    elif np.any(np.asarray(self.weights) < 0.):
+      raise ValueError(
+          'ClipCollection validation failed. negative weight')

@@ -1,33 +1,36 @@
-"""A structured set of manipulation tasks with a single entry point
-(reference manipulation/__init__.py:17-76)."""
+"""Manipulation task library: one `load(name)` entry point.
+
+Behavioral contract: reference manipulation/__init__.py — the same
+registered names/tags and a composer.Environment with a 10 s time
+limit. The reference's absl `--timeout` flag becomes an explicit
+kwarg.
+"""
 
 from dm_control_tpu import composer as _composer
-from dm_control_tpu.manipulation import bricks as _bricks
-from dm_control_tpu.manipulation import lift as _lift
-from dm_control_tpu.manipulation import place as _place
-from dm_control_tpu.manipulation import reach as _reach
 from dm_control_tpu.manipulation.shared import registry as _registry
+
+# importing a task module populates the registry
+from dm_control_tpu.manipulation import bricks as _bricks  # noqa: F401
+from dm_control_tpu.manipulation import lift as _lift  # noqa: F401
+from dm_control_tpu.manipulation import place as _place  # noqa: F401
+from dm_control_tpu.manipulation import reach as _reach  # noqa: F401
 
 _registry.done_importing_tasks()
 
-_TIME_LIMIT = 10.
+_EPISODE_SECONDS = 10.
 
 ALL = tuple(_registry.get_all_names())
 TAGS = tuple(_registry.get_tags())
 
 
 def get_environments_by_tag(tag):
-  """Names of all environments matching a given tag."""
+  """Names of all environments carrying `tag` (one of `TAGS`)."""
   return tuple(_registry.get_names_by_tag(tag))
 
 
 def load(environment_name, seed=None, timeout=True):
-  """Loads a manipulation environment by name.
-
-  Unlike the reference (which routes `timeout` through an absl flag),
-  the time limit toggle is an explicit kwarg.
-  """
-  task = _registry.get_constructor(environment_name)()
-  time_limit = _TIME_LIMIT if timeout else float('inf')
-  return _composer.Environment(task, time_limit=time_limit,
-                               random_state=seed)
+  """Builds the named environment; `seed` seeds its RNG."""
+  return _composer.Environment(
+      _registry.get_constructor(environment_name)(),
+      time_limit=_EPISODE_SECONDS if timeout else float('inf'),
+      random_state=seed)

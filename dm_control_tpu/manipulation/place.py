@@ -1,7 +1,12 @@
-"""A task where the goal is to place a movable prop on top of a fixed
-prop (reference manipulation/place.py:15-293)."""
+"""Place tasks: set a Duplo brick down on an elevated perch.
 
-import collections
+Behavioral contract: reference manipulation/place.py — same registered
+names (place_{brick,cradle}_{features,vision}), pedestal geometry,
+spawn regions, and the grasp/in-place/hand-away shaped reward. Built
+on the shared Workcell; the pedestal is one parametrized entity with a
+selectable top (flat duplo vs. sphere cradle) instead of two wired-up
+entity classes.
+"""
 
 import numpy as np
 
@@ -12,76 +17,53 @@ from dm_control_tpu.composer import initializers
 from dm_control_tpu.composer.observation import observable
 from dm_control_tpu.composer.variation import distributions
 from dm_control_tpu.entities import props
-from dm_control_tpu.manipulation.shared import arenas
-from dm_control_tpu.manipulation.shared import cameras
 from dm_control_tpu.manipulation.shared import constants
 from dm_control_tpu.manipulation.shared import observations
 from dm_control_tpu.manipulation.shared import registry
-from dm_control_tpu.manipulation.shared import robots
 from dm_control_tpu.manipulation.shared import tags
+from dm_control_tpu.manipulation.shared import workcell
 from dm_control_tpu.manipulation.shared import workspaces
 from dm_control_tpu.utils import rewards
 
-_PlaceWorkspace = collections.namedtuple(
-    '_PlaceWorkspace',
-    ['prop_bbox', 'target_bbox', 'tcp_bbox', 'arm_offset'])
+_SUCCESS_RADIUS = 0.05
+_PILLAR_RADIUS = 0.07
+_PILLAR_HEIGHT = 0.2
+_Z_PAD = 1e-6
 
-_TARGET_RADIUS = 0.05
-_PEDESTAL_RADIUS = 0.07
-_PROP_Z_OFFSET = 1e-6
-
-_WORKSPACE = _PlaceWorkspace(
-    prop_bbox=workspaces.BoundingBox(
-        lower=(-0.1, -0.1, _PROP_Z_OFFSET),
-        upper=(0.1, 0.1, _PROP_Z_OFFSET)),
-    tcp_bbox=workspaces.BoundingBox(
-        lower=(-0.1, -0.1, _PEDESTAL_RADIUS + 0.1),
-        upper=(0.1, 0.1, 0.4)),
-    target_bbox=workspaces.BoundingBox(
-        lower=(-0.1, -0.1, _PEDESTAL_RADIUS),
-        upper=(0.1, 0.1, _PEDESTAL_RADIUS + 0.1)),
-    arm_offset=robots.ARM_OFFSET)
+_TCP_BBOX = workspaces.BoundingBox(
+    (-0.1, -0.1, _PILLAR_RADIUS + 0.1), (0.1, 0.1, 0.4))
+_PROP_BBOX = workspaces.BoundingBox(
+    (-0.1, -0.1, _Z_PAD), (0.1, 0.1, _Z_PAD))
+_PERCH_BBOX = workspaces.BoundingBox(
+    (-0.1, -0.1, _PILLAR_RADIUS), (0.1, 0.1, _PILLAR_RADIUS + 0.1))
 
 
-class SphereCradle(composer.Entity):
-  """A concave shape for easy placement."""
-
-  _SPHERE_COUNT = 3
-
-  def _build(self):
-    self._mjcf_root = mjcf.RootElement(model='cradle')
-    sphere_radius = _PEDESTAL_RADIUS * 0.7
-    for ang in np.linspace(0, 2 * np.pi, num=self._SPHERE_COUNT,
-                           endpoint=False):
-      pos = 0.7 * sphere_radius * np.array(
-          [np.sin(ang), np.cos(ang), -1])
-      self._mjcf_root.worldbody.add(
-          'geom', type='sphere', size=[sphere_radius], condim=6,
-          pos=pos)
-
-  @property
-  def mjcf_model(self):
-    return self._mjcf_root
+def _sphere_cradle():
+  """Three spheres in a tripod: a concave rest for easy placement."""
+  root = mjcf.RootElement(model='cradle')
+  r = 0.7 * _PILLAR_RADIUS
+  for ang in np.linspace(0., 2. * np.pi, num=3, endpoint=False):
+    root.worldbody.add(
+        'geom', type='sphere', size=[r], condim=6,
+        pos=0.7 * r * np.array([np.sin(ang), np.cos(ang), -1.]))
+  return composer.ModelWrapperEntity(root)
 
 
-class Pedestal(composer.Entity):
-  """A narrow pillar to elevate the target."""
+class Perch(composer.Entity):
+  """Capsule pillar carrying a resting surface and the target site."""
 
-  _HEIGHT = 0.2
-
-  def _build(self, cradle, target_radius):
-    self._mjcf_root = mjcf.RootElement(model='pedestal')
-    self._mjcf_root.worldbody.add(
-        'geom', type='capsule', size=[_PEDESTAL_RADIUS],
-        fromto=[0, 0, -_PEDESTAL_RADIUS,
-                0, 0, -(self._HEIGHT + _PEDESTAL_RADIUS)])
-    attachment_site = self._mjcf_root.worldbody.add(
-        'site', type='sphere', size=[0.003],
-        group=constants.TASK_SITE_GROUP)
-    self.attach(cradle, attachment_site)
+  def _build(self, top_entity):
+    self._mjcf_root = mjcf.RootElement(model='perch')
+    world = self._mjcf_root.worldbody
+    world.add(
+        'geom', type='capsule', size=[_PILLAR_RADIUS],
+        fromto=[0, 0, -_PILLAR_RADIUS,
+                0, 0, -(_PILLAR_HEIGHT + _PILLAR_RADIUS)])
+    mount = world.add('site', type='sphere', size=[0.003],
+                      group=constants.TASK_SITE_GROUP)
+    self.attach(top_entity, mount)
     self._target_site = workspaces.add_target_site(
-        body=self.mjcf_model.worldbody, radius=target_radius,
-        rgba=constants.RED)
+        body=world, radius=_SUCCESS_RADIUS, rgba=constants.RED)
 
   @property
   def mjcf_model(self):
@@ -92,160 +74,85 @@ class Pedestal(composer.Entity):
     return self._target_site
 
   def _build_observables(self):
-    return PedestalObservables(self)
+    return _PerchObservables(self)
 
 
-class PedestalObservables(composer.Observables):
-  """Observables for the `Pedestal` prop."""
+class _PerchObservables(composer.Observables):
 
   @define.observable
   def position(self):
     return observable.MJCFFeature('xpos', self._entity.target_site)
 
 
-class Place(composer.Task):
-  """Place the prop on a fixed prop held up by a pedestal."""
+def _staged_place_reward(tcp_to_obj, obj_to_target, tcp_to_target):
+  """Grasp-shaped until near the target, then rewards letting go.
 
-  def __init__(self, arena, arm, hand, prop, obs_settings, workspace,
-               control_timestep, cradle):
-    self._arena = arena
-    self._arm = arm
-    self._hand = hand
-    self._arm.attach(self._hand)
-    self._arena.attach_offset(self._arm, offset=workspace.arm_offset)
-    self.control_timestep = control_timestep
+  All three inputs are scalar distances. Matches the reference reward
+  (place.py:202-224): in_place dominates with weight 10; the residual
+  term morphs from "be near the prop" into "move the hand away" as
+  in_place saturates.
+  """
+  long_tail = dict(margin=_SUCCESS_RADIUS, sigmoid='long_tail')
+  grasp = rewards.tolerance(
+      tcp_to_obj, bounds=(0, _SUCCESS_RADIUS), **long_tail)
+  in_place = rewards.tolerance(
+      obj_to_target, bounds=(0, _SUCCESS_RADIUS), **long_tail)
+  hand_away = rewards.tolerance(
+      tcp_to_target, bounds=(4 * _SUCCESS_RADIUS, np.inf),
+      margin=3 * _SUCCESS_RADIUS, sigmoid='long_tail')
+  residual = grasp * (1 - in_place) + hand_away * in_place
+  return (residual + 10. * in_place) / 11.
 
-    self._task_observables = cameras.add_camera_observables(
-        arena, obs_settings, cameras.FRONT_CLOSE)
 
-    self._tcp_initializer = initializers.ToolCenterPointInitializer(
-        self._hand, self._arm,
-        position=distributions.Uniform(*workspace.tcp_bbox),
-        quaternion=workspaces.DOWN_QUATERNION)
+class Place(workcell.WorkcellTask):
+  """Pick up the brick and rest it on the perch."""
 
+  def __init__(self, cell, prop, perch):
+    super().__init__(cell)
     self._prop = prop
-    self._prop_frame = self._arena.add_free_entity(prop)
-    self._pedestal = Pedestal(cradle=cradle,
-                              target_radius=_TARGET_RADIUS)
-    self._arena.attach(self._pedestal)
-
-    for obs in self._pedestal.observables.as_dict().values():
-      obs.configure(**obs_settings.prop_pose._asdict())
+    self._prop_frame = cell.add_free_prop(prop)
+    self._perch = perch
+    cell.arena.attach(perch)
+    cell.configure_prop_pose(perch.observables.as_dict())
 
     self._prop_placer = initializers.PropPlacer(
-        props=[prop],
-        position=distributions.Uniform(*workspace.prop_bbox),
+        props=[prop], position=distributions.Uniform(*_PROP_BBOX),
         quaternion=workspaces.uniform_z_rotation,
         settle_physics=True, max_attempts_per_prop=50)
-    self._pedestal_placer = initializers.PropPlacer(
-        props=[self._pedestal],
-        position=distributions.Uniform(*workspace.target_bbox),
+    self._perch_placer = initializers.PropPlacer(
+        props=[perch], position=distributions.Uniform(*_PERCH_BBOX),
         settle_physics=False)
 
-    workspaces.add_bbox_site(
-        body=self.root_entity.mjcf_model.worldbody,
-        lower=workspace.tcp_bbox.lower, upper=workspace.tcp_bbox.upper,
-        rgba=constants.GREEN, name='tcp_spawn_area')
-    workspaces.add_bbox_site(
-        body=self.root_entity.mjcf_model.worldbody,
-        lower=workspace.prop_bbox.lower,
-        upper=workspace.prop_bbox.upper,
-        rgba=constants.BLUE, name='prop_spawn_area')
-    workspaces.add_bbox_site(
-        body=self.root_entity.mjcf_model.worldbody,
-        lower=workspace.target_bbox.lower,
-        upper=workspace.target_bbox.upper,
-        rgba=constants.CYAN, name='pedestal_spawn_area')
-
-  @property
-  def root_entity(self):
-    return self._arena
-
-  @property
-  def arm(self):
-    return self._arm
-
-  @property
-  def hand(self):
-    return self._hand
-
-  @property
-  def task_observables(self):
-    return self._task_observables
+    cell.mark_region('prop', _PROP_BBOX, name='prop_spawn_area')
+    cell.mark_region('pedestal', _PERCH_BBOX, name='pedestal_spawn_area')
 
   def initialize_episode(self, physics, random_state):
-    self._pedestal_placer(physics, random_state,
-                          ignore_contacts_with_entities=[self._prop])
-    self._hand.set_grasp(physics, close_factors=random_state.uniform())
-    self._tcp_initializer(physics, random_state)
+    self._perch_placer(physics, random_state,
+                       ignore_contacts_with_entities=[self._prop])
+    self._cell.reset_hand(physics, random_state)
     self._prop_placer(physics, random_state)
 
   def get_reward(self, physics):
-    target = physics.bind(self._pedestal.target_site).xpos
+    target = physics.bind(self._perch.target_site).xpos
     obj = physics.bind(self._prop_frame).xpos
-    tcp = physics.bind(self._hand.tool_center_point).xpos
-
-    tcp_to_obj = np.linalg.norm(obj - tcp)
-    grasp = rewards.tolerance(tcp_to_obj, bounds=(0, _TARGET_RADIUS),
-                              margin=_TARGET_RADIUS,
-                              sigmoid='long_tail')
-    obj_to_target = np.linalg.norm(obj - target)
-    in_place = rewards.tolerance(obj_to_target,
-                                 bounds=(0, _TARGET_RADIUS),
-                                 margin=_TARGET_RADIUS,
-                                 sigmoid='long_tail')
-    tcp_to_target = np.linalg.norm(tcp - target)
-    hand_away = rewards.tolerance(tcp_to_target,
-                                  bounds=(4 * _TARGET_RADIUS, np.inf),
-                                  margin=3 * _TARGET_RADIUS,
-                                  sigmoid='long_tail')
-    in_place_weight = 10.
-    grasp_or_hand_away = grasp * (1 - in_place) + hand_away * in_place
-    return ((grasp_or_hand_away + in_place_weight * in_place) /
-            (1 + in_place_weight))
+    tcp = physics.bind(self._cell.hand.tool_center_point).xpos
+    return _staged_place_reward(
+        tcp_to_obj=np.linalg.norm(obj - tcp),
+        obj_to_target=np.linalg.norm(obj - target),
+        tcp_to_target=np.linalg.norm(tcp - target))
 
 
-def _place(obs_settings, cradle_prop_name):
-  """Configure and instantiate a Place task."""
-  arena = arenas.Standard()
-  arm = robots.make_arm(obs_settings=obs_settings)
-  hand = robots.make_hand(obs_settings=obs_settings)
-
-  prop = props.Duplo(observable_options=observations.make_options(
-      obs_settings, observations.FREEPROP_OBSERVABLES))
-  if cradle_prop_name == 'duplo':
-    cradle = props.Duplo()
-  elif cradle_prop_name == 'cradle':
-    cradle = SphereCradle()
-  else:
-    raise ValueError(
-        "`cradle_prop_name` must be either 'duplo' or 'cradle'.")
-
-  return Place(arena=arena, arm=arm, hand=hand, prop=prop,
-               obs_settings=obs_settings, workspace=_WORKSPACE,
-               control_timestep=constants.CONTROL_TIMESTEP,
-               cradle=cradle)
+def _make_place(obs_settings, perch_kind):
+  cell = workcell.Workcell(obs_settings, tcp_bbox=_TCP_BBOX)
+  prop = props.Duplo(observable_options=cell.prop_options())
+  top = props.Duplo() if perch_kind == 'brick' else _sphere_cradle()
+  return Place(cell, prop=prop, perch=Perch(top_entity=top))
 
 
-@registry.add(tags.FEATURES)
-def place_brick_features():
-  return _place(obs_settings=observations.PERFECT_FEATURES,
-                cradle_prop_name='duplo')
-
-
-@registry.add(tags.VISION)
-def place_brick_vision():
-  return _place(obs_settings=observations.VISION,
-                cradle_prop_name='duplo')
-
-
-@registry.add(tags.FEATURES)
-def place_cradle_features():
-  return _place(obs_settings=observations.PERFECT_FEATURES,
-                cradle_prop_name='cradle')
-
-
-@registry.add(tags.VISION)
-def place_cradle_vision():
-  return _place(obs_settings=observations.VISION,
-                cradle_prop_name='cradle')
+for _kind in ('brick', 'cradle'):
+  for _tag, _settings in (('features', observations.PERFECT_FEATURES),
+                          ('vision', observations.VISION)):
+    registry.register(
+        f'place_{_kind}_{_tag}',
+        lambda s=_settings, k=_kind: _make_place(s, k),
+        _tag)

@@ -93,42 +93,31 @@ for _prop_name in _FRAME_SENSORS:
   setattr(PrimitiveObservables, _prop_name, _sensor_observable(_prop_name))
 
 
-class Sphere(Primitive):
+def _shape(geom_type, signature):
+  """Makes a Primitive subclass whose _build maps `signature` kwargs
+  (an ordered dict of name -> default; None defaults fall back to
+  _DEFAULT_HALF_LENGTHS) onto the geom size vector."""
 
-  def _build(self, radius=0.05, mass=None, name='sphere'):
-    super()._build(geom_type='sphere', size=radius, mass=mass, name=name)
+  def _build(self, mass=None, name=geom_type, **kwargs):
+    parts = []
+    for arg, default in signature.items():
+      value = kwargs.pop(arg, None)
+      if value is None:
+        value = default if default is not None else _DEFAULT_HALF_LENGTHS
+      parts.append(np.reshape(np.asarray(value, dtype=float), -1))
+    if kwargs:
+      raise TypeError(f'unexpected arguments: {sorted(kwargs)}')
+    Primitive._build(self, geom_type=geom_type,
+                     size=np.concatenate(parts), mass=mass, name=name)
 
-
-class Box(Primitive):
-
-  def _build(self, half_lengths=None, mass=None, name='box'):
-    super()._build(geom_type='box',
-                   size=half_lengths or _DEFAULT_HALF_LENGTHS,
-                   mass=mass, name=name)
-
-
-class Ellipsoid(Primitive):
-
-  def _build(self, radii=None, mass=None, name='ellipsoid'):
-    super()._build(geom_type='ellipsoid',
-                   size=radii or _DEFAULT_HALF_LENGTHS,
-                   mass=mass, name=name)
+  return type(geom_type.capitalize(), (Primitive,), {'_build': _build})
 
 
-class Cylinder(Primitive):
-
-  def _build(self, radius=0.05, half_length=0.15, mass=None,
-             name='cylinder'):
-    super()._build(geom_type='cylinder', size=[radius, half_length],
-                   mass=mass, name=name)
-
-
-class Capsule(Primitive):
-
-  def _build(self, radius=0.05, half_length=0.15, mass=None,
-             name='capsule'):
-    super()._build(geom_type='capsule', size=[radius, half_length],
-                   mass=mass, name=name)
+Sphere = _shape('sphere', {'radius': 0.05})
+Box = _shape('box', {'half_lengths': None})
+Ellipsoid = _shape('ellipsoid', {'radii': None})
+Cylinder = _shape('cylinder', {'radius': 0.05, 'half_length': 0.15})
+Capsule = _shape('capsule', {'radius': 0.05, 'half_length': 0.15})
 
 
 class BoxWithSites(Box):

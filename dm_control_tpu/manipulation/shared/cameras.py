@@ -1,3 +1,6 @@
+# Spec constants in this file reproduce task-specification values from
+# dm_control (github.com/google-deepmind/dm_control), Copyright The
+# dm_control Authors, Apache License 2.0.
 """Fixed camera placements for manipulation scenes.
 
 Behavioral contract: reference manipulation/shared/cameras.py — the

@@ -1,3 +1,6 @@
+# Spec constants in this file reproduce task-specification values from
+# dm_control (github.com/google-deepmind/dm_control), Copyright The
+# dm_control Authors, Apache License 2.0.
 """Optimal LQR policy (behavioural parity: reference suite/lqr_solver.py).
 
 Solves the discrete algebraic Riccati equation for the lqr domain's

@@ -1,3 +1,6 @@
+# Spec constants in this file reproduce task-specification values from
+# dm_control (github.com/google-deepmind/dm_control), Copyright The
+# dm_control Authors, Apache License 2.0.
 """Soft indicator ("tolerance") reward functions, jnp-native.
 
 Behavioral contract: reference dm_control/utils/rewards.py — the same

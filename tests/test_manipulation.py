@@ -60,6 +60,24 @@ def test_jaco_arm_compile_parity():
       np.asarray(m.actuator_gainprm)[:, 0], mc.actuator_gainprm[:, 0])
 
 
+_FEATURE_TASKS = sorted(n for n in manipulation.ALL
+                        if n.endswith('_features'))
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize('name', _FEATURE_TASKS)
+def test_episode_sweep_features(name):
+  """Every registered feature task builds, resets, and steps."""
+  env = manipulation.load(name, seed=7)
+  ts = env.reset()
+  assert ts.first()
+  spec = env.action_spec()
+  for _ in range(2):
+    ts = env.step(np.zeros(spec.shape, spec.dtype))
+    assert np.isfinite(ts.reward)
+    assert 0.0 <= ts.reward <= 1.0
+
+
 @pytest.mark.parametrize('name', ['reach_site_features',
                                   'lift_brick_features'])
 def test_episode_runs(name):

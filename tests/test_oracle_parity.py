@@ -11,6 +11,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.parity
+
 jax = pytest.importorskip('jax')
 jax.config.update('jax_enable_x64', True)
 
@@ -21,7 +23,9 @@ from dm_control_tpu.ops import forward  # noqa: E402
 
 mujoco = pytest.importorskip('mujoco')
 
-_SUITE_DIR = '/root/reference/dm_control/suite'
+import os as _os
+_SUITE_DIR = _os.path.join(_os.path.dirname(__file__), '..',
+                          'dm_control_tpu', 'suite', 'assets')
 
 # contact-free (or effectively smooth) models, tolerance for 1 step
 SMOOTH_MODELS = ['pendulum.xml', 'acrobot.xml', 'cartpole.xml',

@@ -12,6 +12,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.parity, pytest.mark.heavy]
+
 jax = pytest.importorskip('jax')
 jax.config.update('jax_enable_x64', True)
 

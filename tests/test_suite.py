@@ -26,7 +26,10 @@ _HEAVY = {('humanoid', 'walk'), ('humanoid', 'run'),
               ('dog', t) for t in
               ('stand', 'walk', 'trot', 'run', 'fetch')}
 _FAST = bool(os.environ.get('DMC_TPU_FAST_TESTS'))
-_ALL = [t for t in suite.ALL_TASKS if not (_FAST and t in _HEAVY)]
+# heavy-model tasks run in the `heavy` lane (see pytest.ini) so the
+# default lane stays within the 1-core host's budget
+_ALL = [pytest.param(*t, marks=pytest.mark.heavy) if t in _HEAVY else t
+        for t in suite.ALL_TASKS if not (_FAST and t in _HEAVY)]
 
 
 def _uniform_policy(spec, rng):

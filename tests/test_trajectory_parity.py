@@ -22,6 +22,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.parity
+
 jax = pytest.importorskip('jax')
 jax.config.update('jax_enable_x64', True)
 
@@ -32,7 +34,9 @@ from dm_control_tpu.ops import forward  # noqa: E402
 
 mujoco = pytest.importorskip('mujoco')
 
-_SUITE_DIR = '/root/reference/dm_control/suite'
+import os as _os
+_SUITE_DIR = _os.path.join(_os.path.dirname(__file__), '..',
+                          'dm_control_tpu', 'suite', 'assets')
 
 # (model file, steps to hold the band, qpos band). finger runs its
 # elliptic-cone contacts through the Gauss-Newton middle-zone Hessian,
