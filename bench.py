@@ -55,7 +55,25 @@ def measure_ours():
   jax.block_until_ready(tot)
   wall = time.time() - t0
   sps = BATCH * STEPS / wall
-  return sps, compile_s, wall
+
+  # MFU: model FLOPs per batched step (XLA cost analysis of the step
+  # kernel) x steps/s over the chip's f32 matmul peak. The step is
+  # mostly f32 elementwise/small-matmul work, so this is the honest
+  # denominator; it is a measure of how much the hot path leaves on
+  # the table (the step is HBM-bound, not FLOP-bound).
+  mfu = None
+  try:
+    from dm_control_tpu.ops import forward as forward_ops
+    comp = jax.jit(
+        lambda d: forward_ops.step_batched(benv.model, d)).lower(
+            benv._data).compile()
+    flops_per_step = comp.cost_analysis().get('flops', 0.0)
+    kind = jax.devices()[0].device_kind.lower()
+    peak = 4.6e13 if 'v5 lite' in kind or 'v5e' in kind else 9.2e13
+    mfu = (flops_per_step / BATCH) * sps / peak
+  except Exception:
+    pass
+  return sps, compile_s, wall, mfu
 
 
 def measure_baseline():
@@ -91,14 +109,17 @@ def measure_baseline():
 
 
 def main():
-  sps, compile_s, wall = measure_ours()
+  sps, compile_s, wall, mfu = measure_ours()
   baseline = measure_baseline()
-  print(json.dumps({
+  out = {
       'metric': f'batched env steps/s ({DOMAIN}.{TASK}, {BATCH} envs)',
       'value': round(sps, 1),
       'unit': 'env_steps/s',
       'vs_baseline': round(sps / baseline, 2),
-  }))
+  }
+  if mfu is not None:
+    out['mfu'] = round(mfu, 5)
+  print(json.dumps(out))
 
 
 if __name__ == '__main__':

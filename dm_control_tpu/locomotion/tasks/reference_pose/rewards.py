@@ -1,10 +1,12 @@
+# Reward formulas/coefficients reproduce the CoMic task spec from
+# dm_control (github.com/google-deepmind/dm_control), Copyright The
+# dm_control Authors, Apache License 2.0.
 """Reward functions for reference-pose tracking tasks.
 
-Numerical contract matches the reference
-(dm_control/locomotion/tasks/reference_pose/rewards.py:38-187): the
-reward formulas ARE the task spec (CoMic, Hasenclever et al. 2020), so
-the coefficients are identical; the implementation is vectorised numpy
-over the SoA feature dicts.
+Behavioral contract: reference locomotion/tasks/reference_pose/
+rewards.py — the CoMic reward family (Hasenclever et al. 2020). The
+per-term weight/scale coefficients ARE the task spec and live in one
+table; the term evaluation is a single pass over it.
 """
 
 import collections
@@ -14,16 +16,24 @@ import numpy as np
 RewardFnOutput = collections.namedtuple(
     'RewardFnOutput', ['reward', 'debug', 'reward_terms'])
 
+# pose-tracking terms: feature key -> (weight, error scale);
+# each contributes weight * exp(-scale * squared_error)
+_POSE_TERMS = {
+    'center_of_mass': (0.1, 10.),
+    'joints_velocity': (1.0, 0.1),
+    'appendages': (0.15, 40.),
+    'body_quaternions': (0.65, 2.),
+}
+
 
 def bounded_quat_dist(source, target):
-  """Quaternion distance bounded to [0, pi/2], batched over leading dims."""
-  source = np.asarray(source, dtype=float)
-  target = np.asarray(target, dtype=float)
-  source = source / np.linalg.norm(source, axis=-1, keepdims=True)
-  target = target / np.linalg.norm(target, axis=-1, keepdims=True)
-  dist = 2 * np.einsum('...i,...i', source, target) ** 2 - 1
-  dist = np.minimum(1., dist)
-  return 0.5 * np.arccos(dist)[..., np.newaxis]
+  """Quaternion distance bounded to [0, pi/2], batched over leading
+  dims; antipodal quaternions count as identical."""
+  def unit(q):
+    q = np.asarray(q, dtype=float)
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+  cos_like = 2 * np.einsum('...i,...i', unit(source), unit(target)) ** 2 - 1
+  return 0.5 * np.arccos(np.minimum(1., cos_like))[..., np.newaxis]
 
 
 def sort_dict(d):
@@ -32,73 +42,68 @@ def sort_dict(d):
 
 def compute_squared_differences(walker_features, reference_features,
                                 exclude_keys=()):
-  """Per-feature squared differences (quaternions via bounded distance)."""
-  squared_differences = {}
-  for k in walker_features:
-    if k in exclude_keys:
+  """Per-feature squared error (quaternions via bounded distance)."""
+  out = {}
+  for key, walker_value in walker_features.items():
+    if key in exclude_keys:
       continue
-    if 'quaternion' not in k:
-      squared_differences[k] = np.sum(
-          (walker_features[k] - reference_features[k]) ** 2)
-    elif 'quaternions' in k:
-      quat_dists = bounded_quat_dist(walker_features[k],
-                                     reference_features[k])
-      squared_differences[k] = np.sum(quat_dists ** 2)
+    ref_value = reference_features[key]
+    if 'quaternion' not in key:
+      err = np.sum((walker_value - ref_value) ** 2)
+    elif 'quaternions' in key:
+      err = np.sum(bounded_quat_dist(walker_value, ref_value) ** 2)
     else:
-      squared_differences[k] = bounded_quat_dist(
-          walker_features[k], reference_features[k]) ** 2
-  return squared_differences
+      err = bounded_quat_dist(walker_value, ref_value) ** 2
+    out[key] = err
+  return out
 
 
 def termination_reward_fn(termination_error, termination_error_threshold,
                           **unused_kwargs):
   """1 - error/threshold; lives in [0, 1] under the task's truncation."""
-  debug_terms = {
-      'termination_error': termination_error,
-      'termination_error_threshold': termination_error_threshold,
-  }
-  termination_reward = 1 - termination_error / termination_error_threshold
+  reward = 1 - termination_error / termination_error_threshold
   return RewardFnOutput(
-      reward=termination_reward, debug=debug_terms,
-      reward_terms=sort_dict({'termination': termination_reward}))
+      reward=reward,
+      debug={'termination_error': termination_error,
+             'termination_error_threshold': termination_error_threshold},
+      reward_terms=sort_dict({'termination': reward}))
 
 
 def debug(reference_features, walker_features, **unused_kwargs):
-  debug_terms = compute_squared_differences(walker_features,
-                                            reference_features)
-  return RewardFnOutput(reward=0.0, debug=debug_terms, reward_terms=None)
+  return RewardFnOutput(
+      reward=0.0,
+      debug=compute_squared_differences(walker_features,
+                                        reference_features),
+      reward_terms=None)
 
 
 def multi_term_pose_reward_fn(walker_features, reference_features,
                               **unused_kwargs):
-  """CoM + body-quaternion + joint-velocity + appendage tracking terms."""
-  differences = compute_squared_differences(walker_features,
-                                            reference_features)
-  terms = {
-      'center_of_mass': .1 * np.exp(-10 * differences['center_of_mass']),
-      'joints_velocity': 1.0 * np.exp(-0.1 * differences['joints_velocity']),
-      'appendages': 0.15 * np.exp(-40. * differences['appendages']),
-      'body_quaternions': 0.65 * np.exp(-2 * differences['body_quaternions']),
-  }
-  reward = sum(terms.values())
-  return RewardFnOutput(reward=reward, debug=terms,
+  """Sum of the _POSE_TERMS exponential tracking bonuses."""
+  errors = compute_squared_differences(walker_features,
+                                       reference_features)
+  terms = {key: weight * np.exp(-scale * errors[key])
+           for key, (weight, scale) in _POSE_TERMS.items()}
+  return RewardFnOutput(reward=sum(terms.values()), debug=terms,
                         reward_terms=sort_dict(terms))
 
 
 def comic_reward_fn(termination_error, termination_error_threshold,
                     walker_features, reference_features, **unused_kwargs):
   """Even mix of the termination and multi-term pose rewards (CoMic)."""
-  termination_reward, debug_terms, termination_reward_terms = (
-      termination_reward_fn(termination_error, termination_error_threshold))
-  mt_reward, mt_debug_terms, mt_reward_terms = multi_term_pose_reward_fn(
-      walker_features, reference_features)
-  debug_terms.update(mt_debug_terms)
-  reward_terms = {k: 0.5 * v for k, v in termination_reward_terms.items()}
-  reward_terms.update({k: 0.5 * v for k, v in mt_reward_terms.items()})
+  halves = (termination_reward_fn(termination_error,
+                                  termination_error_threshold),
+            multi_term_pose_reward_fn(walker_features,
+                                      reference_features))
+  debug_terms = {}
+  reward_terms = {}
+  for part in halves:
+    debug_terms.update(part.debug)
+    reward_terms.update(
+        (k, 0.5 * v) for k, v in part.reward_terms.items())
   return RewardFnOutput(
-      reward=0.5 * termination_reward + 0.5 * mt_reward,
-      debug=debug_terms,
-      reward_terms=sort_dict(reward_terms))
+      reward=0.5 * (halves[0].reward + halves[1].reward),
+      debug=debug_terms, reward_terms=sort_dict(reward_terms))
 
 
 _REWARD_FN = {
@@ -109,23 +114,22 @@ _REWARD_FN = {
 
 _REWARD_CHANNELS = {
     'termination_reward': ('termination',),
-    'multi_term_pose_reward':
-        ('appendages', 'body_quaternions', 'center_of_mass',
-         'joints_velocity'),
-    'comic': ('appendages', 'body_quaternions', 'center_of_mass',
-              'termination', 'joints_velocity'),
+    'multi_term_pose_reward': tuple(sorted(_POSE_TERMS)),
+    'comic': tuple(sorted(('termination',) + tuple(_POSE_TERMS))),
 }
 
 
+def _lookup(table, reward_key):
+  try:
+    return table[reward_key]
+  except KeyError:
+    raise ValueError(f'Requested reward {reward_key}, which is not a '
+                     'valid option.') from None
+
+
 def get_reward(reward_key):
-  if reward_key not in _REWARD_FN:
-    raise ValueError('Requested reward %s, which is not a valid option.'
-                     % reward_key)
-  return _REWARD_FN[reward_key]
+  return _lookup(_REWARD_FN, reward_key)
 
 
 def get_reward_channels(reward_key):
-  if reward_key not in _REWARD_CHANNELS:
-    raise ValueError('Requested reward %s, which is not a valid option.'
-                     % reward_key)
-  return _REWARD_CHANNELS[reward_key]
+  return _lookup(_REWARD_CHANNELS, reward_key)

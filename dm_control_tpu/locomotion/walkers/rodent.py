@@ -1,8 +1,11 @@
-"""A rodent walker (reference locomotion/walkers/rodent.py:60-334).
+"""A rodent walker.
 
-Position-controlled rat with [-1, 1] control range; the model XML
-(assets/rodent.xml) is reference data, all-primitive collision geoms
-(the .skn skin is visual-only).
+Behavioral contract: reference locomotion/walkers/rodent.py `Rat` —
+position-controlled rat with [-1, 1] control range; mocap joint order,
+tracking-body filters, appendage observables, and pose->actuation
+mapping. The model XML (assets/rodent.xml) is reference data,
+all-primitive collision geoms (the .skn skin is visual-only). Body
+accessors are generated from a name table.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ from dm_control_tpu.locomotion.walkers import base
 
 _XML_PATH = os.path.join(os.path.dirname(__file__), 'assets/rodent.xml')
 
+# task-spec mocap joint ordering (reference rodent.py:_RAT_MOCAP_JOINTS)
 _RAT_MOCAP_JOINTS = [
     'vertebra_1_extend', 'vertebra_2_bend', 'vertebra_3_twist',
     'vertebra_4_extend', 'vertebra_5_bend', 'vertebra_6_twist',
@@ -43,10 +47,28 @@ _RAT_MOCAP_JOINTS = [
     'shoulder_R', 'shoulder_sup_R', 'elbow_R', 'wrist_R', 'finger_R',
 ]
 
-_UPRIGHT_POS = (0.0, 0.0, 0.0)
-_UPRIGHT_QUAT = (1., 0., 0., 0.)
 _TORQUE_THRESHOLD = 60
 _STAND_HEIGHT = 0.077
+
+# accessor name -> model body name
+_NAMED_BODIES = {
+    'root_body': 'torso',
+    'pelvis_body': 'pelvis',
+    'head': 'skull',
+    'left_arm_root': 'scapula_L',
+    'right_arm_root': 'scapula_R',
+}
+
+_GROUND_CONTACT_BODIES = ('foot_L', 'foot_R', 'hand_L', 'hand_R',
+                          'vertebra_C1')
+_END_EFFECTOR_BODIES = ('lower_arm_R', 'lower_arm_L', 'foot_R',
+                        'foot_L')
+_NON_TRACKING_BODY_RE = re.compile(r'(vertebra|hand|toe)')
+
+
+def _body_property(body_name):
+  return property(
+      lambda self: self._mjcf_root.find('body', body_name))
 
 
 class Rat(base.Walker):
@@ -63,6 +85,7 @@ class Rat(base.Walker):
     self.body_sites = []
 
     if torque_actuators:
+      # direct torque drive: gain = max force, no position feedback
       for actuator in self._mjcf_root.find_all('actuator'):
         actuator.gainprm = [actuator.forcerange[1]]
         actuator.biastype = None
@@ -72,57 +95,34 @@ class Rat(base.Walker):
       self._mjcf_root.find('default', 'ankle').joint.range = [-0.1, 2.]
       self._mjcf_root.find('default', 'toe').joint.range = [-0.7, 0.87]
 
-  @property
-  def upright_pose(self):
-    return base.WalkerPose(xpos=_UPRIGHT_POS, xquat=_UPRIGHT_QUAT)
+  mjcf_model = property(lambda self: self._mjcf_root)
 
   @property
-  def mjcf_model(self):
-    return self._mjcf_root
+  def upright_pose(self):
+    return base.WalkerPose(xpos=(0., 0., 0.), xquat=(1., 0., 0., 0.))
+
+  @property
+  def standing_height(self):
+    return self.params.get('_STAND_HEIGHT', _STAND_HEIGHT)
+
+  # ---------------------------------------------- model element views
 
   @property
   def actuators(self):
     return tuple(self._mjcf_root.find_all('actuator'))
 
   @property
-  def root_body(self):
-    return self._mjcf_root.find('body', 'torso')
-
-  @property
-  def pelvis_body(self):
-    return self._mjcf_root.find('body', 'pelvis')
-
-  @property
-  def head(self):
-    return self._mjcf_root.find('body', 'skull')
-
-  @property
-  def left_arm_root(self):
-    return self._mjcf_root.find('body', 'scapula_L')
-
-  @property
-  def right_arm_root(self):
-    return self._mjcf_root.find('body', 'scapula_R')
-
-  @property
   def ground_contact_geoms(self):
-    out = []
-    for bname in ('foot_L', 'foot_R', 'hand_L', 'hand_R',
-                  'vertebra_C1'):
-      body = self._mjcf_root.find('body', bname)
-      out.extend(body.get_children('geom'))
-    return tuple(out)
-
-  @property
-  def standing_height(self):
-    return self.params.get('_STAND_HEIGHT', _STAND_HEIGHT)
+    geoms = []
+    for body_name in _GROUND_CONTACT_BODIES:
+      geoms.extend(self._mjcf_root.find('body',
+                                        body_name).get_children('geom'))
+    return tuple(geoms)
 
   @property
   def end_effectors(self):
-    return (self._mjcf_root.find('body', 'lower_arm_R'),
-            self._mjcf_root.find('body', 'lower_arm_L'),
-            self._mjcf_root.find('body', 'foot_R'),
-            self._mjcf_root.find('body', 'foot_L'))
+    return tuple(self._mjcf_root.find('body', n)
+                 for n in _END_EFFECTOR_BODIES)
 
   @property
   def observable_joints(self):
@@ -134,86 +134,86 @@ class Rat(base.Walker):
     return self._mjcf_root.find_all('tendon')
 
   @property
+  def bodies(self):
+    return tuple(self._mjcf_root.find_all('body'))
+
+  @property
+  def mocap_tracking_bodies(self):
+    return tuple(b for b in self._mjcf_root.find_all('body')
+                 if not _NON_TRACKING_BODY_RE.match(b.name))
+
+  @property
+  def egocentric_camera(self):
+    return self._mjcf_root.find('camera', 'egocentric')
+
+  # ---------------------------------------------- joint orderings
+
+  @property
   def mocap_joints(self):
     return tuple(self._mjcf_root.find('joint', name)
                  for name in _RAT_MOCAP_JOINTS)
 
   @property
   def mocap_joint_order(self):
-    return tuple(jnt.name for jnt in self.mocap_joints)
+    return tuple(j.name for j in self.mocap_joints)
 
-  @property
-  def bodies(self):
-    return tuple(self._mjcf_root.find_all('body'))
+  def _joints_where(self, want_vertebra):
+    return tuple(j for j in self._mjcf_root.find_all('joint')
+                 if j.name and ('vertebra' in j.name) == want_vertebra)
 
-  @property
-  def mocap_tracking_bodies(self):
-    return tuple(body for body in self._mjcf_root.find_all('body')
-                 if not re.match(r'(vertebra|hand|toe)', body.name))
+  primary_joints = property(lambda self: self._joints_where(False))
+  vertebra_joints = property(lambda self: self._joints_where(True))
 
-  @property
-  def primary_joints(self):
-    return tuple(jnt for jnt in self._mjcf_root.find_all('joint')
-                 if jnt.name and 'vertebra' not in jnt.name)
-
-  @property
-  def vertebra_joints(self):
-    return tuple(jnt for jnt in self._mjcf_root.find_all('joint')
-                 if jnt.name and 'vertebra' in jnt.name)
+  def _mocap_order_of(self, names):
+    order = self.mocap_joint_order
+    return [order.index(n) for n in names]
 
   @property
   def primary_joint_order(self):
-    joint_names = self.mocap_joint_order
-    return [joint_names.index(jnt.name) for jnt in self.primary_joints]
+    return self._mocap_order_of(j.name for j in self.primary_joints)
 
   @property
   def vertebra_joint_order(self):
-    joint_names = self.mocap_joint_order
-    return [joint_names.index(jnt.name)
-            for jnt in self.vertebra_joints]
+    return self._mocap_order_of(j.name for j in self.vertebra_joints)
 
   @property
-  def egocentric_camera(self):
-    return self._mjcf_root.find('camera', 'egocentric')
+  def joint_actuator_order(self):
+    return self._mocap_order_of(a.name for a in self.joint_actuators)
+
+  # ---------------------------------------------- actuation
 
   @property
   def joint_actuators(self):
-    return tuple(a for a in self._mjcf_root.find_all('actuator')
+    return tuple(a for a in self.actuators
                  if a.get_attributes().get('joint') is not None)
 
   @property
   def joint_actuators_range(self):
-    out = []
+    ranges = []
     for act in self.joint_actuators:
-      associated_joint = self._mjcf_root.find('joint', act.name)
-      dclass = associated_joint.get_attributes().get('class')
-      if dclass is not None and not isinstance(dclass, str):
-        act_range = dclass.joint.range
-      else:
-        act_range = associated_joint.range
-      out.append(np.asarray(act_range, dtype=float))
-    return out
+      joint = self._mjcf_root.find('joint', act.name)
+      dclass = joint.get_attributes().get('class')
+      span = (dclass.joint.range
+              if dclass is not None and not isinstance(dclass, str)
+              else joint.range)
+      ranges.append(np.asarray(span, dtype=float))
+    return ranges
 
   def pose_to_actuation(self, pose):
     """Actuation whose position targets equal `pose` (mocap order)."""
-    r_lower = np.array([r[0] for r in self.joint_actuators_range])
-    r_upper = np.array([r[1] for r in self.joint_actuators_range])
-    num_tendon_actuators = len(self.actuators) - len(
-        self.joint_actuators)
-    tendon_actions = np.zeros(num_tendon_actuators)
-    return np.hstack([
-        tendon_actions,
-        (2 * np.asarray(pose)[self.joint_actuator_order] -
-         (r_lower + r_upper)) / (r_upper - r_lower)])
-
-  @property
-  def joint_actuator_order(self):
-    joint_names = self.mocap_joint_order
-    return [joint_names.index(act.name)
-            for act in self.joint_actuators]
+    spans = np.stack(self.joint_actuators_range)
+    lo, hi = spans[:, 0], spans[:, 1]
+    targets = np.asarray(pose)[self.joint_actuator_order]
+    joint_actions = (2 * targets - (lo + hi)) / (hi - lo)
+    n_tendon = len(self.actuators) - len(self.joint_actuators)
+    return np.hstack([np.zeros(n_tendon), joint_actions])
 
   def _build_observables(self):
     return RodentObservables(self)
+
+
+for _accessor, _body_name in _NAMED_BODIES.items():
+  setattr(Rat, _accessor, _body_property(_body_name))
 
 
 class RodentObservables(base.WalkerObservables):
@@ -250,16 +250,14 @@ class RodentObservables(base.WalkerObservables):
   @composer.observable
   def appendages_pos(self):
     """end_effectors_pos with the head appended, egocentric."""
-    def relative_pos_in_egocentric_frame(physics):
-      end_effectors_with_head = (
-          self._entity.end_effectors + (self._entity.head,))
-      end_effector = np.asarray(
-          physics.bind(end_effectors_with_head).xpos)
-      torso = np.asarray(physics.bind(self._entity.root_body).xpos)
-      xmat = np.reshape(np.asarray(
-          physics.bind(self._entity.root_body).xmat), (3, 3))
-      return np.reshape(np.dot(end_effector - torso, xmat), -1)
-    return observable.Generic(relative_pos_in_egocentric_frame)
+    def appendages_in_torso_frame(physics):
+      points = self._entity.end_effectors + (self._entity.head,)
+      xpos = np.asarray(physics.bind(points).xpos)
+      torso = physics.bind(self._entity.root_body)
+      frame = np.reshape(np.asarray(torso.xmat), (3, 3))
+      return np.reshape(
+          (xpos - np.asarray(torso.xpos)).dot(frame), -1)
+    return observable.Generic(appendages_in_torso_frame)
 
   @composer.observable
   def egocentric_camera(self):

@@ -533,14 +533,26 @@ def collision(m: Model, d: Data) -> Data:
     slot_of.append(off)
     off += _PAIR_NCON[(t1, t2)]
 
+  # Per-env narrowphase outputs: only the STATE-DEPENDENT 7 floats per
+  # slot (dist, pos, normal). Everything else (margins, friction,
+  # solref/solimp, frame tangents) is either env-independent or only
+  # needed for the ncon_sel slots that survive compaction — assembling
+  # it per env at ncon_max width was the single largest HBM stream of
+  # the whole step (~5 MB/env on humanoid.run at batch 4096).
   dist = jnp.full(m.ncon_max, _BIG, dtype=dtype)
   pos = jnp.zeros((m.ncon_max, 3), dtype=dtype)
-  frame = jnp.tile(jnp.eye(3, dtype=dtype), (m.ncon_max, 1, 1))
+  normal = jnp.zeros((m.ncon_max, 3), dtype=dtype)
+  normal = normal.at[:, 2].set(1.0)
+  # env-independent per-slot parameter tables (vmap keeps unbatched
+  # computation unbatched, so these assemble once, not per env)
   imargin = jnp.zeros(m.ncon_max, dtype=dtype)
   friction = jnp.ones((m.ncon_max, 5), dtype=dtype)
   solref = jnp.tile(jnp.array([0.02, 1.0], dtype=dtype), (m.ncon_max, 1))
   solimp = jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype),
                     (m.ncon_max, 1))
+  # slots whose friction tangent must align with a capsule axis
+  # (plane-capsule, oracle mjc_PlaneCapsule convention)
+  cap_tangent = np.zeros(m.ncon_max, dtype=bool)
 
   for (t1, t2), cand in groups.items():
     # contact parameter merging per candidate (margin feeds the MPR
@@ -586,23 +598,10 @@ def collision(m: Model, d: Data) -> Data:
         dtype=jnp.int32)
     dist = dist.at[slots].set(dd.reshape(-1))
     pos = pos.at[slots].set(pp.reshape(-1, 3))
+    normal = normal.at[slots].set(nn.reshape(-1, 3))
     if (t1, t2) == (_G.PLANE, _G.CAPSULE):
-      # oracle convention (mjc_PlaneCapsule): the first friction tangent
-      # is the capsule axis projected into the plane, so rolling/sliding
-      # friction pyramids align with the capsule — fall back to the
-      # canonical frame only when the capsule is plane-perpendicular.
-      nrm = nn.reshape(-1, 3)
-      caxis = jnp.repeat(d.geom_xmat[g2][:, :, 2], k, axis=0)
-      t_ip = caxis - nrm * jnp.sum(caxis * nrm, axis=-1, keepdims=True)
-      t_nrm = jnp.linalg.norm(t_ip, axis=-1, keepdims=True)
-      t1v = jnp.where(t_nrm > 1e-10,
-                      t_ip / jnp.maximum(t_nrm, 1e-12),
-                      mops.make_frame(nrm)[:, 1])
-      t2v = jnp.cross(nrm, t1v)
-      frame = frame.at[slots].set(jnp.stack([nrm, t1v, t2v], axis=-2))
-    else:
-      frame = frame.at[slots].set(
-          mops.make_frame(nn.reshape(-1, 3)))
+      for ci in cand:
+        cap_tangent[slot_of[ci]:slot_of[ci] + k] = True
     rep = lambda x: jnp.repeat(x, k, axis=0)
     imargin = imargin.at[slots].set(rep(mrg - gap))
     friction = friction.at[slots].set(rep(fric))
@@ -616,15 +615,18 @@ def collision(m: Model, d: Data) -> Data:
 
   if m.ncon_sel < m.ncon_max:
     # Top-K per condim group by penetration depth beyond margin.
-    # The slot data is packed into ONE (ncon_max, C) matrix and gathered
-    # through a one-hot matmul: XLA:TPU lowers batched dynamic gathers
-    # at ~20 GB/s, while this rides the MXU.
+    # The per-env slot data (7 floats) is packed into ONE matrix and
+    # gathered through a one-hot matmul (XLA:TPU lowers batched dynamic
+    # gathers at ~20 GB/s; this rides the MXU); the env-independent
+    # parameter table is gathered through the same one-hot.
     packed = jnp.concatenate([
-        dist[:, None], pos, frame.reshape(m.ncon_max, 9),
+        dist[:, None], pos, normal, active.astype(dtype)[:, None],
+    ], axis=1)                                     # (ncon_max, 8)
+    params = jnp.concatenate([
         imargin[:, None], friction, solref, solimp,
         slot_g1[:, None].astype(dtype), slot_g2[:, None].astype(dtype),
-        active.astype(dtype)[:, None],
-    ], axis=1)                                     # (ncon_max, 28)
+        jnp.asarray(cap_tangent, dtype=dtype)[:, None],
+    ], axis=1)                                     # (ncon_max, 16)
     sel_idx_parts = []
     for cdim in sorted(set(m.pair_condim)):
       grp = np.array([s for s in range(m.ncon_max)
@@ -641,18 +643,40 @@ def collision(m: Model, d: Data) -> Data:
     sel = (sel_idx_parts[0] if len(sel_idx_parts) == 1
            else jnp.concatenate(sel_idx_parts))
     onehot = (sel[:, None] == jnp.arange(m.ncon_max)).astype(dtype)
-    sp = onehot @ packed                           # (ncon_sel, 28)
-    ns = m.ncon_sel
+    sp = onehot @ packed                           # (ncon_sel, 8)
+    pr = onehot @ params                           # (ncon_sel, 16)
     dist = sp[:, 0]
     pos = sp[:, 1:4]
-    frame = sp[:, 4:13].reshape(ns, 3, 3)
-    imargin = sp[:, 13]
-    friction = sp[:, 14:19]
-    solref = sp[:, 19:21]
-    solimp = sp[:, 21:26]
-    slot_g1 = sp[:, 26].astype(jnp.int32)
-    slot_g2 = sp[:, 27].astype(jnp.int32)
-    active = sp[:, 28] > 0.5
+    normal = sp[:, 4:7]
+    active = sp[:, 7] > 0.5
+    imargin = pr[:, 0]
+    friction = pr[:, 1:6]
+    solref = pr[:, 6:8]
+    solimp = pr[:, 8:13]
+    slot_g1 = pr[:, 13].astype(jnp.int32)
+    slot_g2 = pr[:, 14].astype(jnp.int32)
+    cap_flag = pr[:, 15] > 0.5
+  else:
+    cap_flag = jnp.asarray(cap_tangent)
+
+  # Contact frames, built only for the surviving slots. Plane-capsule
+  # slots align the first tangent with the capsule axis projected into
+  # the plane (oracle mjc_PlaneCapsule), falling back to the canonical
+  # frame when plane-perpendicular.
+  frame = mops.make_frame(normal)
+  if np.any(cap_tangent):
+    # capsule z-axes via one-hot matmul (batched dynamic gathers are
+    # slow on TPU; ngeom is tiny)
+    g2_onehot = (slot_g2[:, None] ==
+                 jnp.arange(d.geom_xmat.shape[0])).astype(dtype)
+    caxis = g2_onehot @ d.geom_xmat[:, :, 2]
+    t_ip = caxis - normal * jnp.sum(caxis * normal, axis=-1,
+                                    keepdims=True)
+    t_nrm = jnp.linalg.norm(t_ip, axis=-1, keepdims=True)
+    t1v = jnp.where(cap_flag[:, None] & (t_nrm > 1e-10),
+                    t_ip / jnp.maximum(t_nrm, 1e-12), frame[:, 1])
+    t2v = jnp.cross(normal, t1v)
+    frame = jnp.stack([normal, t1v, t2v], axis=-2)
 
   con = con.replace(dist=dist, pos=pos, frame=frame,
                     includemargin=imargin, friction=friction,

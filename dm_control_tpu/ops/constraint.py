@@ -877,107 +877,172 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
     fric = jnp.einsum('bke,be->bk', onehot, fric.astype(dtype)) > 0.5
     nefc = K
 
-  cone_args = (dweight, eq, fric, floss, mu_rows, groups)
-
-  def row_force(jar):
-    return _row_force_cone(jar, *cone_args)
-
-  def jmul(x):                 # (B, nv) -> (B, nefc)
-    return jnp.einsum('bv,bve->be', x, J)
-
-  def jtmul(f):                # (B, nefc) -> (B, nv)
-    return jnp.einsum('bve,be->bv', J, f)
-
-  def mmul(x):                 # (B, nv) -> (B, nv)
-    return jnp.einsum('bij,bj->bi', M, x)
-
-  def cost_of(x):
-    jar = jmul(x) - aref
-    dv = x - a0
-    return 0.5 * jnp.einsum('bi,bi->b', dv, mmul(dv)) + jnp.sum(
-        _cost_rows_cone(jar, *cone_args), axis=-1)
-
-  ws = jnp.where(jnp.all(jnp.isfinite(D.qacc_warmstart), axis=-1,
-                         keepdims=True), D.qacc_warmstart, a0)
-  x = jnp.where((cost_of(ws) < cost_of(a0))[:, None], ws, a0)
-
   tol = m.opt.tolerance.astype(dtype)
-  scale = jnp.maximum(
-      jnp.trace(M, axis1=-2, axis2=-1) / max(m.nv, 1), 1e-12)
   ls_iters = min(m.opt.ls_iterations, 8)
-
-  def newton_iter(x):
-    jar = jmul(x) - aref
-    w, Jh = _hess_cone(jar, J, *cone_args)
-    grad = mmul(x - a0) - jtmul(row_force(jar))
-    H = M + jnp.einsum('bve,be,bwe->bvw', Jh, w, Jh)
-    p = -pallas_kernels.chol_solve_batched(H, grad)
-    jp = jmul(p)
-    pMp = jnp.einsum('bi,bi->b', p, mmul(p))
-    pM_dx = jnp.einsum('bi,bi->b', p, mmul(x - a0))
-
-    # safeguarded Newton on phi' (bracket + bisection fallback) — see
-    # the per-env solver for why a raw Newton step can cycle
-    def ls_body(carry, _):
-      alpha, lo, hi = carry
-      ra = jar + alpha[:, None] * jp
-      drows, ddrows = _ls_rows_cone(ra, jp, *cone_args)
-      dphi = pM_dx + alpha * pMp - jnp.sum(drows, axis=-1)
-      ddphi = pMp + jnp.sum(ddrows, axis=-1)
-      lo = jnp.where(dphi < 0, jnp.maximum(lo, alpha), lo)
-      hi = jnp.where(dphi > 0, jnp.minimum(hi, alpha), hi)
-      newton = alpha - dphi / jnp.maximum(ddphi, 1e-12)
-      inside = (newton > lo) & (newton < hi)
-      alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
-      return (alpha, lo, hi), None
-
-    Bn = x.shape[0]
-    (alpha, _, _), _ = jax.lax.scan(
-        ls_body,
-        (jnp.ones(Bn, dtype=dtype), jnp.zeros(Bn, dtype=dtype),
-         jnp.full(Bn, 4.0, dtype=dtype)),
-        None, length=ls_iters, unroll=ls_iters)
-    alpha = jnp.clip(alpha, 0.0, 4.0)
-    return x + alpha[:, None] * p
-
   # Convergence threshold: the model tolerance, floored at the dtype's
   # noise level — in f32 an improvement below ~8 eps |cost| is rounding
   # noise, and iterating through it would run every batch to the
   # iteration cap (the while_loop runs until EVERY env converges).
   eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
-  # Straggler cutoff: the batch steps in lockstep, so the slowest env
-  # sets the iteration count for all. Measured on humanoid.run: >97%
-  # of envs converge within 3 Newton iterations, but 1-2 near-divergent
-  # envs (about to be auto-reset) otherwise churn to the iteration cap,
-  # tripling total solver time. Once the active tail is below 1/1024 of
-  # the batch we stop; the stragglers keep their best-so-far qacc (the
-  # same contract as hitting opt.solver_iterations in the C engine).
-  # Batches under 1024 envs always run to full convergence.
+  def make_solver(J, M, a0, aref, dweight, eq, fric, floss, mu_rows):
+    """Closure bundle (jmul/cost/newton/loop) over one batch slice —
+    built twice: once for the full batch, once for the straggler tail
+    after compaction."""
+    cone_args = (dweight, eq, fric, floss, mu_rows, groups)
+
+    def row_force(jar):
+      return _row_force_cone(jar, *cone_args)
+
+    def jmul(x):                 # (B, nv) -> (B, nefc)
+      return jnp.einsum('bv,bve->be', x, J)
+
+    def jtmul(f):                # (B, nefc) -> (B, nv)
+      return jnp.einsum('bve,be->bv', J, f)
+
+    def mmul(x):                 # (B, nv) -> (B, nv)
+      return jnp.einsum('bij,bj->bi', M, x)
+
+    def cost_of(x):
+      jar = jmul(x) - aref
+      dv = x - a0
+      return 0.5 * jnp.einsum('bi,bi->b', dv, mmul(dv)) + jnp.sum(
+          _cost_rows_cone(jar, *cone_args), axis=-1)
+
+    scale = jnp.maximum(
+        jnp.trace(M, axis1=-2, axis2=-1) / max(m.nv, 1), 1e-12)
+
+    # Gauss-Newton direction in reduced precision: the Hessian only
+    # steers the SEARCH DIRECTION — correctness is guarded by the f32
+    # exact line search and the monotone-cost acceptance test — so the
+    # rank-update einsum (the iteration's biggest HBM stream) runs
+    # with bf16 operands and f32 accumulation on the MXU. Disabled
+    # under x64 (parity/oracle runs).
+    use_bf16 = dtype == jnp.float32
+
+    def hess_assemble(Jh, w):
+      if use_bf16:
+        wJh = (Jh * w[..., None, :]).astype(jnp.bfloat16)
+        return M + jnp.einsum(
+            'bve,bwe->bvw', wJh, Jh.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+      return M + jnp.einsum('bve,be,bwe->bvw', Jh, w, Jh)
+
+    def newton_iter(x, jar):
+      """One safeguarded Newton step from (x, jar=J'x - aref).
+
+      Returns (x_new, jar_new) with jar updated incrementally
+      (jar_new = jar + alpha*jp) — saves two full J streams per
+      iteration vs recomputing jmul(x_new)."""
+      w, Jh = _hess_cone(jar, J, *cone_args)
+      grad = mmul(x - a0) - jtmul(row_force(jar))
+      H = hess_assemble(Jh, w)
+      p = -pallas_kernels.chol_solve_batched(H, grad)
+      jp = jmul(p)
+      pMp = jnp.einsum('bi,bi->b', p, mmul(p))
+      pM_dx = jnp.einsum('bi,bi->b', p, mmul(x - a0))
+
+      # safeguarded Newton on phi' (bracket + bisection fallback) — see
+      # the per-env solver for why a raw Newton step can cycle
+      def ls_body(carry, _):
+        alpha, lo, hi = carry
+        ra = jar + alpha[:, None] * jp
+        drows, ddrows = _ls_rows_cone(ra, jp, *cone_args)
+        dphi = pM_dx + alpha * pMp - jnp.sum(drows, axis=-1)
+        ddphi = pMp + jnp.sum(ddrows, axis=-1)
+        lo = jnp.where(dphi < 0, jnp.maximum(lo, alpha), lo)
+        hi = jnp.where(dphi > 0, jnp.minimum(hi, alpha), hi)
+        newton = alpha - dphi / jnp.maximum(ddphi, 1e-12)
+        inside = (newton > lo) & (newton < hi)
+        alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
+        return (alpha, lo, hi), None
+
+      Bn = x.shape[0]
+      (alpha, _, _), _ = jax.lax.scan(
+          ls_body,
+          (jnp.ones(Bn, dtype=dtype), jnp.zeros(Bn, dtype=dtype),
+           jnp.full(Bn, 4.0, dtype=dtype)),
+          None, length=ls_iters, unroll=ls_iters)
+      alpha = jnp.clip(alpha, 0.0, 4.0)
+      return x + alpha[:, None] * p, jar + alpha[:, None] * jp
+
+    def cost_from(x, jar):
+      dv = x - a0
+      return 0.5 * jnp.einsum('bi,bi->b', dv, mmul(dv)) + jnp.sum(
+          _cost_rows_cone(jar, *cone_args), axis=-1)
+
+    def loop(x, jar, cost, done, it0, max_iters, tail_thresh):
+      """Monotone Newton iterations until only `tail_thresh` envs
+      remain unconverged or `max_iters` total iterations."""
+
+      def cond_fn(carry):
+        x, jar, cost, it, done = carry
+        return (jnp.sum(~done) > tail_thresh) & (it < max_iters)
+
+      def body_fn(carry):
+        x, jar, cost, it, done = carry
+        x_new, jar_new = newton_iter(x, jar)
+        cost_new = cost_from(x_new, jar_new)
+        improved = (cost_new < cost) & ~done
+        x = jnp.where(improved[:, None], x_new, x)
+        jar = jnp.where(improved[:, None], jar_new, jar)
+        thresh = jnp.maximum(tol * scale, 8 * eps * jnp.abs(cost))
+        done = done | ~((cost - cost_new) >= thresh) | ~jnp.isfinite(
+            cost_new)
+        cost = jnp.where(improved, cost_new, cost)
+        return (x, jar, cost, it + 1, done)
+
+      return jax.lax.while_loop(cond_fn, body_fn,
+                                (x, jar, cost, it0, done))
+
+    return jmul, cost_of, row_force, jtmul, loop
+
+  jmul, cost_of, row_force, jtmul, full_loop = make_solver(
+      J, M, a0, aref, dweight, eq, fric, floss, mu_rows)
+
+  ws = jnp.where(jnp.all(jnp.isfinite(D.qacc_warmstart), axis=-1,
+                         keepdims=True), D.qacc_warmstart, a0)
+  x = jnp.where((cost_of(ws) < cost_of(a0))[:, None], ws, a0)
+
+  # Straggler cutoff + tail compaction: the batch steps in lockstep,
+  # so the slowest env sets the iteration count for all. Measured on
+  # humanoid.run, >97% of envs converge within 3-4 Newton iterations,
+  # but a long tail (falling/impact states) otherwise drags the whole
+  # batch through up to solver_iterations full-width passes. Phase 1
+  # runs a few full-batch iterations; phase 2 GATHERS the unconverged
+  # tail (<= B/16 envs) and iterates only it at 1/16 the cost, then
+  # scatters the refined solutions back. Envs beyond the tail budget
+  # keep their best-so-far qacc — the same soft contract as hitting
+  # opt.solver_iterations in the C engine. Batches under 1024 envs
+  # skip compaction and run the plain loop to full convergence.
   B = x.shape[0]
-  tail_thresh = B // 256
+  cap = m.opt.solver_iterations
+  done0 = jnp.zeros(B, dtype=bool)
+  it0 = jnp.zeros((), jnp.int32)
+  jar0 = jmul(x) - aref
+  if B >= 1024:
+    _FULL_PASSES = int(__import__("os").environ.get("DMC_FULL_PASSES", "4"))
+    tail = B // int(__import__("os").environ.get("DMC_TAIL_DIV", "16"))
+    x, jarx, cost, niter, done = full_loop(
+        x, jar0, cost_of(x), done0, it0,
+        jnp.minimum(_FULL_PASSES, cap), B // 256)
+    # gather the unconverged tail and iterate only it
+    sel = jax.lax.top_k((~done).astype(jnp.float32), tail)[1]  # (tail,)
 
-  def cond_fn(carry):
-    x, cost, it, done = carry
-    return (jnp.sum(~done) > tail_thresh) & (
-        it < m.opt.solver_iterations)
+    def take(a):
+      return jnp.take(a, sel, axis=0)
 
-  def body_fn(carry):
-    x, cost, it, done = carry
-    x_new = newton_iter(x)
-    cost_new = cost_of(x_new)
-    improved = (cost_new < cost) & ~done
-    x = jnp.where(improved[:, None], x_new, x)
-    thresh = jnp.maximum(tol * scale, 8 * eps * jnp.abs(cost))
-    done = done | ~((cost - cost_new) >= thresh) | ~jnp.isfinite(
-        cost_new)
-    cost = jnp.where(improved, cost_new, cost)
-    return (x, cost, it + 1, done)
-
-  x, _, niter, _ = jax.lax.while_loop(
-      cond_fn, body_fn,
-      (x, cost_of(x), jnp.zeros((), jnp.int32),
-       jnp.zeros(B, dtype=bool)))
+    _, _, _, _, tail_loop = make_solver(
+        take(J), take(M), take(a0), take(aref), take(dweight),
+        take(eq), take(fric), take(floss), take(mu_rows))
+    xt, _, ct, niter, _ = tail_loop(take(x), take(jarx), take(cost),
+                                    take(done), niter, cap, 0)
+    # scatter refined tail solutions back (only where cost improved)
+    better = ct < take(cost)
+    x = x.at[sel].set(jnp.where(better[:, None], xt, take(x)))
+  else:
+    x, _, _, niter, _ = full_loop(x, jar0, cost_of(x), done0, it0,
+                                  cap, B // 256)
 
   jar = jmul(x) - aref
   force = row_force(jar)

@@ -224,6 +224,8 @@ class BatchedEnvironment:
             lambda pool_x, x: jnp.where(
                 done.reshape((-1,) + (1,) * (x.ndim - 1)), pool_x, x),
             pool, state)
+        # a diverged env's reward is NaN this step; don't poison total
+        reward = jnp.where(diverged, 0.0, reward)
         return (state, key, total + reward), ()
 
       (state, _, total), _ = jax.lax.scan(
