@@ -207,6 +207,83 @@ _RAY_FUNCS = {
 }
 
 
+def _ray_hull(o, v, planes):
+  """Ray vs convex polytope given facet half-spaces n.x + d <= 0.
+
+  Slab method over the facets: entering planes raise t_enter, exiting
+  planes lower t_exit. Zero-padded facets are neutral (parallel, not
+  outside). Mesh geoms render as their convex hulls — the same
+  representation the MPR narrowphase collides (ops/mpr.py), so what
+  you see is what the physics touches.
+  """
+  n = planes[:, :3]
+  dd = planes[:, 3]
+  denom = n @ v
+  num = n @ o + dd
+  t = -num / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+  entering = denom < -1e-12
+  exiting = denom > 1e-12
+  parallel_out = (jnp.abs(denom) <= 1e-12) & (num > 1e-9)
+  t_enter = jnp.max(jnp.where(entering, t, -_BIG))
+  t_exit = jnp.min(jnp.where(exiting, t, _BIG))
+  hit = (t_enter <= t_exit) & (t_enter > 1e-6) & ~jnp.any(parallel_out)
+  tt = jnp.where(hit, t_enter, _BIG)
+  nn = n[jnp.argmax(jnp.where(entering, t, -_BIG))]
+  return tt, nn
+
+
+def _hull_planes_for_geom(m: Model, g: int):
+  """(F, 4) hull facet half-spaces of a mesh geom, host-side."""
+  from scipy.spatial import ConvexHull
+  did = int(m.geom_dataid[g])
+  adr, num = int(m.mesh_vertadr[did]), int(m.mesh_vertnum[did])
+  verts = np.asarray(m.mesh_vert)[adr:adr + num]
+  return ConvexHull(verts).equations
+
+
+def _ray_hfield(o, v, grid, nrow, ncol, size, n_march=48, n_refine=8):
+  """Ray vs heightfield surface: AABB clip, fixed march to bracket the
+  first below-surface sample, bisection refine, bilinear normal."""
+  from dm_control_tpu.ops.collision import _hfield_surface
+  rx, ry, ztop, zbot = size[0], size[1], size[2], size[3]
+  dtype = o.dtype
+
+  # clip to the hfield AABB (z in [-zbot, ztop])
+  lo = jnp.stack([-rx, -ry, -zbot])
+  hi = jnp.stack([rx, ry, ztop])
+  inv = 1.0 / jnp.where(jnp.abs(v) > 1e-12, v, 1e-12)
+  t1 = (lo - o) * inv
+  t2 = (hi - o) * inv
+  t_in = jnp.maximum(jnp.max(jnp.minimum(t1, t2)), 1e-6)
+  t_out = jnp.min(jnp.maximum(t1, t2))
+  valid = t_out > t_in
+
+  def below(t):
+    p = o + t * v
+    h, _, inside = _hfield_surface(grid, nrow, ncol, rx, ry, ztop, p)
+    return (p[2] < h) & inside
+
+  ts = jnp.linspace(t_in, t_out, n_march, dtype=dtype)
+  under = jax.vmap(below)(ts)
+  first = jnp.argmax(under)
+  any_hit = jnp.any(under) & valid
+  t_hi = ts[first]
+  t_lo = ts[jnp.maximum(first - 1, 0)]
+
+  def refine(carry, _):
+    t_lo, t_hi = carry
+    mid = 0.5 * (t_lo + t_hi)
+    b = below(mid)
+    return (jnp.where(b, t_lo, mid), jnp.where(b, mid, t_hi)), None
+
+  (t_lo, t_hi), _ = jax.lax.scan(refine, (t_lo, t_hi), None,
+                                 length=n_refine)
+  t = 0.5 * (t_lo + t_hi)
+  p = o + t * v
+  _, nrm, _ = _hfield_surface(grid, nrow, ncol, rx, ry, ztop, p)
+  return jnp.where(any_hit, t, _BIG), nrm
+
+
 # ---------------------------------------------------------------------------
 # renderer
 # ---------------------------------------------------------------------------
@@ -246,11 +323,34 @@ def render(m: Model, d: Data, height: int = 240, width: int = 320,
 
   # group geoms by type; evaluate each group as one vmapped kernel
   groups = {}
+  mesh_gids, hfield_gids = [], []
   for g in range(m.ngeom):
+    if np.asarray(m.geom_rgba)[g, 3] <= 0:
+      continue
     t = int(m.geom_type[g])
-    if t in _RAY_FUNCS and np.asarray(m.geom_rgba)[g, 3] > 0:
+    if t in _RAY_FUNCS:
       groups.setdefault(t, []).append(g)
+    elif t == int(_G.MESH):
+      mesh_gids.append(g)
+    elif t == int(_G.HFIELD):
+      hfield_gids.append(g)
+    else:
+      raise NotImplementedError(
+          f'rasterizer cannot draw visible geom {g} of type {t}; '
+          'hide it (rgba alpha 0) or add a ray kernel')
 
+  def merge(best, gid, ts, ns):
+    best_t, best_n, best_g = best
+    gbest = jnp.argmin(ts, axis=0)                  # (h, w)
+    tbest = jnp.min(ts, axis=0)
+    nbest = jnp.take_along_axis(
+        ns, gbest[None, :, :, None], axis=0)[0]
+    better = tbest < best_t
+    return (jnp.where(better, tbest, best_t),
+            jnp.where(better[..., None], nbest, best_n),
+            jnp.where(better, gid[gbest], best_g))
+
+  best = (best_t, best_n, best_g)
   gsize = jnp.asarray(m.geom_size, dtype)
   for t, gids in groups.items():
     fn = _RAY_FUNCS[t]
@@ -267,15 +367,43 @@ def render(m: Model, d: Data, height: int = 240, width: int = 320,
       return tt, nn @ gm.T                      # world normals
 
     ts, ns = jax.vmap(per_geom)(gpos, gmat, gsz)   # (G, h, w[,3])
-    gbest = jnp.argmin(ts, axis=0)                  # (h, w)
-    tbest = jnp.min(ts, axis=0)
-    nbest = jnp.take_along_axis(
-        ns, gbest[None, :, :, None], axis=0)[0]
-    better = tbest < best_t
-    best_t = jnp.where(better, tbest, best_t)
-    best_n = jnp.where(better[..., None], nbest, best_n)
-    best_g = jnp.where(better, gid[gbest], best_g)
+    best = merge(best, gid, ts, ns)
 
+  if mesh_gids:
+    # mesh geoms as convex hulls, zero-padded to a shared facet count
+    plane_list = [_hull_planes_for_geom(m, g) for g in mesh_gids]
+    fmax = max(p.shape[0] for p in plane_list)
+    planes = jnp.asarray(np.stack([
+        np.pad(p, ((0, fmax - p.shape[0]), (0, 0))) for p in plane_list
+    ]), dtype)                                   # (G, F, 4)
+    gid = jnp.asarray(np.array(mesh_gids, dtype=np.int32))
+
+    def per_mesh(gp, gm, pl):
+      o = (cam_pos - gp) @ gm
+      vloc = dirs @ gm
+      tt, nn = jax.vmap(jax.vmap(lambda v: _ray_hull(o, v, pl)))(vloc)
+      return tt, nn @ gm.T
+
+    ts, ns = jax.vmap(per_mesh)(d.geom_xpos[gid], d.geom_xmat[gid],
+                                planes)
+    best = merge(best, gid, ts, ns)
+
+  for g in hfield_gids:
+    hid = int(m.geom_dataid[g])
+    nrow, ncol = int(m.hfield_nrow[hid]), int(m.hfield_ncol[hid])
+    adr = int(m.hfield_adr[hid])
+    grid = jnp.asarray(m.hfield_data, dtype)[
+        adr:adr + nrow * ncol].reshape(nrow, ncol)
+    hsize = jnp.asarray(m.hfield_size, dtype)[hid]
+    gp, gm = d.geom_xpos[g], d.geom_xmat[g]
+    o = (cam_pos - gp) @ gm
+    vloc = dirs @ gm
+    tt, nn = jax.vmap(jax.vmap(
+        lambda v: _ray_hfield(o, v, grid, nrow, ncol, hsize)))(vloc)
+    best = merge(best, jnp.asarray([g], dtype=jnp.int32),
+                 tt[None], (nn @ gm.T)[None])
+
+  best_t, best_n, best_g = best
   hit = best_t < _BIG
 
   if segmentation:
@@ -315,12 +443,17 @@ def raycast(m: Model, d: Data, origin, direction):
   gsize = jnp.asarray(m.geom_size, d.qpos.dtype)
   for g in range(m.ngeom):
     t_code = int(m.geom_type[g])
-    if t_code not in _RAY_FUNCS or np.asarray(m.geom_rgba)[g, 3] <= 0:
+    supported = t_code in _RAY_FUNCS or t_code == int(_G.MESH)
+    if not supported or np.asarray(m.geom_rgba)[g, 3] <= 0:
       continue
     gm = d.geom_xmat[g]
     o = (origin - d.geom_xpos[g]) @ gm
     v = direction @ gm
-    t, _ = _RAY_FUNCS[t_code](o, v, gsize[g])
+    if t_code == int(_G.MESH):
+      planes = jnp.asarray(_hull_planes_for_geom(m, g), d.qpos.dtype)
+      t, _ = _ray_hull(o, v, planes)
+    else:
+      t, _ = _RAY_FUNCS[t_code](o, v, gsize[g])
     t = float(jax.device_get(t))
     if t < best_t:
       best_t, best_g = t, g
