@@ -186,3 +186,30 @@ class MazeWithTargets(composer.Arena):
   def regenerate(self, random_state=None):
     self._maze.regenerate(random_state)
     self._rebuild_walls()
+
+
+class RandomMazeWithTargets(MazeWithTargets):
+  """Maze arena with a freshly generated random maze per episode.
+
+  Behavioral contract: reference locomotion/arenas/mazes.py
+  RandomMazeWithTargets — labmaze RandomMaze parameters mapped onto
+  the in-repo TextMaze generator. Texture arguments are accepted and
+  ignored (the on-device ray-caster shades from geom rgba).
+  """
+
+  def _build(self, x_cells=11, y_cells=11, xy_scale=2.0, z_height=2.0,
+             max_rooms=-1, room_min_size=3, room_max_size=5,
+             spawns_per_room=0, targets_per_room=0, max_variations=0,
+             simplify=True, skybox_texture=None, wall_textures=None,
+             floor_textures=None, aesthetic='default', name='maze'):
+    del (max_rooms, room_min_size, room_max_size, max_variations,
+         simplify, skybox_texture, wall_textures, floor_textures,
+         aesthetic)
+    # odd lattice dims required by the DFS generator
+    width = x_cells | 1
+    height = y_cells | 1
+    maze = TextMaze(height=height, width=width,
+                    max_spawns=max(spawns_per_room, 1) * 4,
+                    max_objects=max(targets_per_room, 1) * 4, seed=0)
+    super()._build(maze=maze, xy_scale=xy_scale, z_height=z_height,
+                   name=name)

@@ -41,9 +41,10 @@ def _make_walker(name, walker_id, marker_rgba,
   if walker_type == WalkerType.ANT:
     return walkers.Ant(name=name)
   if walker_type == WalkerType.HUMANOID:
-    from dm_control_tpu.locomotion.walkers import cmu_humanoid
-    return cmu_humanoid.CMUHumanoidPositionControlled(
-        name=name, marker_rgba=marker_rgba)
+    from dm_control_tpu.locomotion.soccer import humanoid
+    return humanoid.Humanoid(
+        name=name, walker_id=walker_id, marker_rgba=marker_rgba,
+        visual=humanoid.Humanoid.Visual.JERSEY)
   raise ValueError('Unrecognized walker type: %s' % walker_type)
 
 

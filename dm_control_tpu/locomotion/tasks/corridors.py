@@ -1,8 +1,9 @@
-"""Corridor locomotion tasks (reference locomotion/tasks/corridors.py:25).
+"""Corridor locomotion tasks.
 
-RunThroughCorridor: a walker is rewarded for moving down a corridor at
-a target velocity, terminated on non-foot ground contact is omitted in
-round 1 (plain velocity reward).
+Behavioral contract: reference locomotion/tasks/corridors.py
+RunThroughCorridor — reward for moving along the corridor's x-axis at
+a target speed, optional termination when anything but the walker's
+feet touches the ground.
 """
 
 from __future__ import annotations
@@ -27,8 +28,7 @@ class RunThroughCorridor(composer.Task):
                control_timestep=0.025):
     self._arena = arena
     self._walker = walker
-    spawn_frame = arena.add_free_entity(walker)
-    self._spawn_frame = spawn_frame
+    self._spawn_frame = arena.add_free_entity(walker)
     self._spawn_position = np.asarray(walker_spawn_position, np.float64)
     self._spawn_rotation = walker_spawn_rotation
     self._vel = target_velocity
@@ -41,32 +41,59 @@ class RunThroughCorridor(composer.Task):
 
     self.set_timesteps(control_timestep, physics_timestep)
 
-  @property
-  def root_entity(self):
-    return self._arena
+  root_entity = property(lambda self: self._arena)
 
   def initialize_episode_mjcf(self, random_state):
     self._arena.regenerate(random_state)
 
+  def _collect_geom_ids(self, physics):
+    """(walker body geoms minus feet, arena ground geoms) as id sets."""
+    from dm_control_tpu.mjcf import physics as mjcf_physics
+    all_geoms = mjcf_physics._doc_order_elements(
+        physics.mjcf_model, 'geom')
+    index_of = {id(g): i for i, g in enumerate(all_geoms)}
+    feet = {id(g) for g in self._walker.ground_contact_geoms}
+    body = {index_of[id(g)]
+            for g in self._walker.mjcf_model.find_all('geom')
+            if id(g) in index_of and id(g) not in feet}
+    ground = {index_of[id(g)] for g in self._arena.ground_geoms
+              if id(g) in index_of}
+    return body, ground
+
   def initialize_episode(self, physics, random_state):
     self._failure_termination = False
     if self._spawn_rotation is not None:
-      angle = self._spawn_rotation
-      quat = [np.cos(angle / 2), 0, 0, np.sin(angle / 2)]
+      half = self._spawn_rotation / 2
+      quat = [np.cos(half), 0, 0, np.sin(half)]
     else:
       quat = None
     self._walker.set_pose(
         physics,
         position=self._spawn_position + np.array([0, 0, 0.06]),
         quaternion=quat)
+    if self._contact_termination:
+      self._body_ids, self._ground_ids = self._collect_geom_ids(physics)
+
+  def after_step(self, physics, random_state):
+    del random_state
+    if not self._contact_termination:
+      return
+    con = physics.data.contact
+    active = np.asarray(con.active).astype(bool)
+    g1 = np.asarray(con.geom1)[active]
+    g2 = np.asarray(con.geom2)[active]
+    for a, b in zip(g1.tolist(), g2.tolist()):
+      if ((a in self._ground_ids and b in self._body_ids) or
+          (b in self._ground_ids and a in self._body_ids)):
+        self._failure_termination = True
+        return
 
   def get_reward(self, physics):
-    # forward (egocentric x) speed from the walker's velocimeter
-    vel = float(np.asarray(
-        physics.named.data.sensordata[
-            f'{self._walker.mjcf_model.model}/torso_vel'][0]))
+    # world-x speed of the walker root (reference corridors.py reward)
+    velocity, _ = self._walker.get_velocity(physics)
     return float(rewards.tolerance(
-        vel, bounds=(self._vel, float('inf')),
+        float(np.asarray(velocity)[0]),
+        bounds=(self._vel, float('inf')),
         margin=self._vel, value_at_margin=0, sigmoid='linear'))
 
   def should_terminate_episode(self, physics):

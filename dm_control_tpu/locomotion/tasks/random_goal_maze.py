@@ -20,21 +20,26 @@ class ManyGoalsMaze(composer.Task):
   def __init__(self,
                walker,
                maze_arena,
+               target_builder=None,
                target_reward_scale=1.0,
                randomize_spawn_rotation=True,
+               contact_termination=False,
                physics_timestep=0.005,
                control_timestep=0.025):
+    del contact_termination  # spawn search keeps walkers clear of walls
     self._arena = maze_arena
     self._walker = walker
     walker.create_root_joints(self._arena.attach(walker))
     self._target_reward_scale = target_reward_scale
     self._randomize_spawn_rotation = randomize_spawn_rotation
+    if target_builder is None:
+      target_builder = lambda name: ts_lib.TargetSphere(
+          radius=0.4, height_above_ground=0.4, name=name)
 
     self._targets = []
     self._target_frames = []
     for i, _ in enumerate(maze_arena.target_positions):
-      target = ts_lib.TargetSphere(radius=0.4, height_above_ground=0.4,
-                                   name=f'goal_{i}')
+      target = target_builder(name=f'goal_{i}')
       self._targets.append(target)
       self._target_frames.append(self._arena.attach(target))
 

@@ -45,10 +45,18 @@ class Walker(composer.Entity, metaclass=abc.ABCMeta):
   def upright_pose(self):
     return WalkerPose()
 
+  def configure_joints(self, physics, qpos):
+    """Writes a full joint configuration (reference legacy_base)."""
+    physics.bind(self.mjcf_model.find_all('joint')).qpos = qpos
+
   def reinitialize_pose(self, physics, random_state):
-    """Resets the walker to its upright pose
-    (reference legacy_base.py:49-51 via UprightInitializer)."""
-    del random_state
+    """Resets the walker via its initializers (reference
+    legacy_base.py:49-51); defaults to the declared upright pose."""
+    initializers = getattr(self, '_pose_initializers', None)
+    if initializers:
+      for initializer in initializers:
+        initializer.initialize_pose(physics, self, random_state)
+      return
     pose = self.upright_pose
     if pose.qpos is not None:
       physics.bind(self.mocap_joints).qpos = pose.qpos
@@ -58,6 +66,15 @@ class Walker(composer.Entity, metaclass=abc.ABCMeta):
                         angular_velocity=np.zeros(3))
     except ValueError:
       pass  # fixed-base walker
+
+  def set_pose_initializers(self, initializer):
+    """Installs initializer(s) consulted by reinitialize_pose."""
+    if initializer is None:
+      self._pose_initializers = ()
+    elif isinstance(initializer, (list, tuple)):
+      self._pose_initializers = tuple(initializer)
+    else:
+      self._pose_initializers = (initializer,)
 
   def aliveness(self, physics):
     """[-1, 0] measure of walker viability; 0 = alive (legacy_base)."""

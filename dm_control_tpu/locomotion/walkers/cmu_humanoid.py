@@ -137,7 +137,7 @@ class _CMUHumanoidBase(base.Walker, metaclass=abc.ABCMeta):
 
   def _build(self, name='walker', marker_rgba=None, include_face=False,
              initializer=None):
-    del initializer
+    self.set_pose_initializers(initializer)
     self._mjcf_root = mjcf.from_path(self._xml_path)
     if name:
       self._mjcf_root.model = name

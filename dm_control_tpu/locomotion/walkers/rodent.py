@@ -76,7 +76,7 @@ class Rat(base.Walker):
 
   def _build(self, params=None, name='walker', torque_actuators=False,
              foot_mods=False, initializer=None):
-    del initializer
+    self.set_pose_initializers(initializer)
     self.params = params or {}
     self._mjcf_root = mjcf.from_path(
         self.params.get('_XML_PATH', _XML_PATH))
@@ -214,6 +214,9 @@ class Rat(base.Walker):
 
 for _accessor, _body_name in _NAMED_BODIES.items():
   setattr(Rat, _accessor, _body_property(_body_name))
+# post-class setattr satisfies the Walker ABC's abstract accessors
+Rat.__abstractmethods__ = frozenset(
+    n for n in Rat.__abstractmethods__ if n not in _NAMED_BODIES)
 
 
 class RodentObservables(base.WalkerObservables):

@@ -32,7 +32,8 @@ def _attr_to_str(value) -> str:
     # element-valued reference attrs (e.g. sensor objname=geom_element)
     # store the referenced element's LOCAL name; serialization applies
     # the attachment prefix to reference-kind attrs (same-model refs)
-    name = value._attrs.get('name')
+    # defaults identify by 'class', everything else by 'name'
+    name = value._attrs.get('name') or value._attrs.get('class')
     if name is None:
       raise Error(f'cannot reference unnamed element {value!r}')
     return name
@@ -55,6 +56,22 @@ def _parse_attr(kind: str, value: str):
   if kind == 'array':
     return np.array([float(x) for x in value.split()])
   return value  # str / keyword / identifier / reference
+
+
+def _vfs_asset_name(root, fname):
+  """Content-hashed VFS filename for a file-valued attribute."""
+  if root is None or fname is None:
+    return fname
+  data = root._assets.get(fname)
+  if data is None:
+    return fname
+  import hashlib
+  import os as _os
+  digest = hashlib.sha1(data).hexdigest()[:16]
+  base = _os.path.basename(str(fname))
+  if base.startswith(digest + '-'):
+    return fname  # already hashed (reparsed model)
+  return f'{digest}-{base}'
 
 
 class Element:
@@ -101,7 +118,21 @@ class Element:
     spec = object.__getattribute__(self, 'spec')
     attrs = object.__getattribute__(self, '_attrs')
     if name_key in spec['attributes']:
-      return attrs.get(name_key)
+      value = attrs.get(name_key)
+      kind = spec['attributes'][name_key][0]
+      # Reference semantics (reference mjcf/attribute.py:291-393):
+      # a reference attribute resolves to the referenced ELEMENT when
+      # it exists in this model. XML-parsed models store the raw name;
+      # resolve lazily here. 'default'/'any' references stay raw
+      # (class refs have their own lookup path; 'any' is ambiguous).
+      if isinstance(value, str) and kind.startswith('reference:'):
+        ns = kind.split(':', 1)[1]
+        root = object.__getattribute__(self, '_root')
+        if ns not in ('default', 'any') and root is not None:
+          hit = root._namescope.get(ns, {}).get(value)
+          if hit is not None:
+            return hit
+      return value
     # PyMJCF semantics: a <default> class exposes its per-kind child
     # elements as attributes, created on first access
     # (reference mjcf/element.py default handling)
@@ -124,6 +155,15 @@ class Element:
         self._attrs.pop(name_key, None)
         return
       kind, _ = self.spec['attributes'][name_key]
+      if kind == 'keyword':
+        allowed = schema_lib.VALID_VALUES.get(self.tag, {}).get(name_key)
+        if allowed:
+          sval = ('true' if value is True else
+                  'false' if value is False else str(value))
+          if sval not in allowed:
+            raise Error(
+                f'invalid value {value!r} for {self.tag}.{name_key}; '
+                f'valid: {allowed}')
       if kind == 'identifier' and self._root is not None:
         old = self._attrs.get(name_key)
         ns = self.spec['identifier']
@@ -217,6 +257,21 @@ class Element:
 
   def find_all(self, namespace: str):
     root = self._root
+    if self is not root and root is not None:
+      # called on a sub-element: scope to this element's subtree
+      # (reference PyMJCF find_all-on-element semantics)
+      out = []
+
+      def walk_sub(e):
+        for c in e._children:
+          if c.tag == 'default':
+            continue
+          if c.spec['identifier'] == namespace:
+            out.append(c)
+          walk_sub(c)
+
+      walk_sub(self)
+      return out
     out = list(root._namescope.get(namespace, {}).values())
     # include unnamed elements of the namespace by tree walk; <default>
     # subtrees hold class templates, not model elements
@@ -245,6 +300,11 @@ class Element:
         ref_ns = kind.split(':', 1)[1]
         if ref_ns != 'default' or sval != 'main':
           sval = prefix + sval
+      elif kind == 'file':
+        # content-hashed VFS name: same-named assets from different
+        # attached models cannot collide (reference mjcf/attribute.py
+        # Asset semantics, :421-493)
+        sval = _vfs_asset_name(self._root, sval)
       et.set(k, sval)
     for c in self._children:
       c._to_etree(prefix, et)
@@ -340,7 +400,8 @@ class RootElement(Element):
     object.__setattr__(self, '_prefix', '')
 
   def get_assets(self) -> Dict[str, bytes]:
-    assets = dict(self._assets)
+    assets = {_vfs_asset_name(self, fname): data
+              for fname, data in self._assets.items()}
     for _, sub, _ in self._attachments:
       assets.update(sub.get_assets())
     return assets

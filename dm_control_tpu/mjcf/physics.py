@@ -125,6 +125,8 @@ class Binding:
 
   def __getattr__(self, attr):
     table = self._table()
+    if attr == 'act' and self._namespace == 'actuator':
+      return self._actuator_act()
     if attr not in table:
       raise AttributeError(
           f'{self._namespace} binding has no attribute {attr!r}; '
@@ -144,6 +146,27 @@ class Binding:
     kind, field, _ = table[attr]
     indexer = self._indexer(kind, field)
     indexer[self._key(indexer)] = value
+
+  def _actuator_act(self):
+    """Per-actuator activation state (data.act is indexed by the
+    ragged activation axis, not the actuator axis, so the generated
+    table cannot cover it — reference core.py exposes it the same
+    way)."""
+    import numpy as np
+    physics = self._physics
+    model = physics.model
+    act = np.asarray(physics.data.act)
+    adr = np.asarray(model.actuator_actadr)
+    num = np.asarray(model.actuator_actnum)
+    values = []
+    for name in self._names:
+      i = (model.names.name2id('actuator', name)
+           if isinstance(name, str) else name)
+      if adr[i] < 0 or num[i] == 0:
+        values.append(0.0)
+      else:
+        values.append(float(act[adr[i] + num[i] - 1]))
+    return values[0] if self._single else np.asarray(values)
 
   def _indexer(self, kind, field):
     named = self._physics.named

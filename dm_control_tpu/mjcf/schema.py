@@ -182,7 +182,7 @@ SCHEMA = {
             'builtin': ('keyword', None), 'rgb1': ('array', None),
             'rgb2': ('array', None), 'width': ('int', None),
             'height': ('int', None), 'mark': ('keyword', None),
-            'markrgb': ('array', None), 'file': ('str', None),
+            'markrgb': ('array', None), 'file': ('file', None),
             'random': ('float', None),
         },
         'children': (), 'repeatable': True, 'identifier': 'texture',
@@ -200,19 +200,19 @@ SCHEMA = {
     },
     'mesh': {
         'attributes': {'name': ('identifier', None),
-                       'file': ('str', None), 'scale': ('array', None),
+                       'file': ('file', None), 'scale': ('array', None),
                        'vertex': ('array', None)},
         'children': (), 'repeatable': True, 'identifier': 'mesh',
     },
     'hfield': {
         'attributes': {'name': ('identifier', None),
                        'size': ('array', None), 'nrow': ('int', None),
-                       'ncol': ('int', None), 'file': ('str', None)},
+                       'ncol': ('int', None), 'file': ('file', None)},
         'children': (), 'repeatable': True, 'identifier': 'hfield',
     },
     'skin': {
         'attributes': {'name': ('identifier', None),
-                       'file': ('str', None)},
+                       'file': ('file', None)},
         'children': (), 'repeatable': True, 'identifier': 'skin',
     },
     'default': {
@@ -481,3 +481,34 @@ FINDABLE_NAMESPACES = ('body', 'joint', 'geom', 'site', 'camera',
                        'light', 'actuator', 'tendon', 'sensor',
                        'texture', 'material', 'mesh', 'hfield',
                        'equality', 'key', 'default', 'pair', 'exclude')
+
+
+# ---------------------------------------------------------------------------
+# Full-grammar merge: the generated module (tools/gen_schema.py, from
+# the MJCF spec's 214 element kinds) fills every kind and attribute the
+# curated declarations above don't cover. Curated entries win on
+# conflict — they encode what the TPU compiler actually consumes.
+# ---------------------------------------------------------------------------
+
+from dm_control_tpu.mjcf import schema_full as _full  # noqa: E402
+
+NUM_SCHEMA_ELEMENTS = _full.NUM_SCHEMA_ELEMENTS
+VALID_VALUES = _full.VALID_VALUES
+ARRAY_SIZES = _full.ARRAY_SIZES
+
+for _tag, _entry in _full.FULL_SCHEMA.items():
+  if _tag not in SCHEMA:
+    SCHEMA[_tag] = {
+        'attributes': dict(_entry['attributes']),
+        'children': tuple(_entry['children']),
+        'repeatable': _entry['repeatable'],
+        'identifier': _entry['identifier'],
+    }
+  else:
+    _cur = SCHEMA[_tag]
+    for _a, _spec in _entry['attributes'].items():
+      _cur['attributes'].setdefault(_a, _spec)
+    _extra = tuple(c for c in _entry['children']
+                   if c not in _cur['children'])
+    if _extra:
+      _cur['children'] = tuple(_cur['children']) + _extra

@@ -885,7 +885,7 @@ class Compiler:
     for child in elem:
       kind = child.tag
       if kind not in ('motor', 'position', 'velocity', 'general',
-                      'intvelocity', 'damper'):
+                      'intvelocity', 'damper', 'adhesion'):
         continue
       d = self.defaults.resolve(kind, child.get('class', 'main'))
       a = {**d, **child.attrib}
@@ -900,6 +900,9 @@ class Compiler:
       biastype = constants.BiasType.NONE
       if kind == 'motor':
         gainprm[0] = 1.0
+      elif kind == 'adhesion':
+        # ctrl slot compiled for action-layout parity; force model TODO
+        gainprm[0] = float(a.get('gain', '1'))
       elif kind == 'position':
         kp = float(a.get('kp', '1'))
         kv = float(a.get('kv', '0'))
@@ -946,6 +949,8 @@ class Compiler:
         trntype, target, tns = constants.TrnType.TENDON, a['tendon'], 'tendon'
       elif 'site' in a:
         trntype, target, tns = constants.TrnType.SITE, a['site'], 'site'
+      elif 'body' in a:
+        trntype, target, tns = constants.TrnType.BODY, a['body'], 'body'
       else:
         raise _MJCFError(f'actuator {a.get("name")} has no transmission')
       self.actuators.append(dict(

@@ -1021,8 +1021,8 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
   it0 = jnp.zeros((), jnp.int32)
   jar0 = jmul(x) - aref
   if B >= 1024:
-    _FULL_PASSES = int(__import__("os").environ.get("DMC_FULL_PASSES", "4"))
-    tail = B // int(__import__("os").environ.get("DMC_TAIL_DIV", "16"))
+    _FULL_PASSES = 3
+    tail = B // 16
     x, jarx, cost, niter, done = full_loop(
         x, jar0, cost_of(x), done0, it0,
         jnp.minimum(_FULL_PASSES, cap), B // 256)

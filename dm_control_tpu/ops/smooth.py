@@ -439,6 +439,11 @@ def _trn_schedule(nu, nv, actuator_trntype, actuator_trnid, jnt_type,
     elif trn == constants.TrnType.TENDON:
       ten_u.append(u)
       ten_t.append(tid)
+    elif trn == constants.TrnType.BODY:
+      # adhesion actuators: the ctrl slot exists (oracle-aligned
+      # action layout) but the suction force model is not implemented
+      # yet — zero moment rows
+      continue
     else:
       raise NotImplementedError(f'transmission type {trn}')
   arr = lambda x: np.asarray(x, dtype=np.int32)

@@ -109,9 +109,18 @@ class Application:
     self._runtime = None
     self._environment_loader = None
     self._policy = None
-    self._camera_id = -1
     self._deferred_reload = False
     self._frame_count = 0
+
+    # interactive layer: free-camera orbit/pan/zoom, camera cycling,
+    # and body drag-perturbation (viewer/interaction.py)
+    from dm_control_tpu.viewer import interaction
+    self.free_camera = interaction.FreeCameraController()
+    self.camera_select = interaction.CameraSelector(self.free_camera)
+    self.perturbation = interaction.DragPerturbation()
+    self._last_camera = None
+    self._mouse_button = None
+    self._cursor = (0.5, 0.5)
 
     self._input_map = user_input.InputMap()
     self._layout = views.ViewportLayout()
@@ -154,7 +163,46 @@ class Application:
       self._layout.add(self._help)
 
   def _next_camera(self):
-    self._camera_id += 1
+    n_cams = 0
+    if self._runtime is not None:
+      n_cams = int(getattr(
+          self._runtime.environment.physics.model, 'ncam', 0))
+    self.camera_select.advance(n_cams)
+
+  # -- mouse interaction -----------------------------------------------------
+
+  def handle_mouse_press(self, button, cursor, modifiers=0):
+    """button: 'left' | 'right' | 'middle'; cursor in [0,1]^2 with
+    (0,0) at the bottom-left. Ctrl+left grabs the body under the
+    cursor for drag perturbation."""
+    self._mouse_button = button
+    self._cursor = tuple(cursor)
+    ctrl_held = bool(modifiers & user_input.MOD_CONTROL)
+    if (button == 'left' and ctrl_held and self._runtime is not None
+        and self._last_camera is not None):
+      physics = self._runtime.environment.physics
+      self.perturbation.grab(physics, self._last_camera, cursor)
+
+  def handle_mouse_move(self, cursor):
+    """Pointer motion while a button is held."""
+    dx = (cursor[0] - self._cursor[0]) * self._width
+    dy = (cursor[1] - self._cursor[1]) * self._height
+    self._cursor = tuple(cursor)
+    if self.perturbation.active and self._last_camera is not None:
+      self.perturbation.drag(self._last_camera, cursor)
+    elif self._mouse_button == 'left':
+      self.free_camera.orbit(dx, -dy)
+    elif self._mouse_button == 'right':
+      self.free_camera.pan(dx, dy)
+
+  def handle_mouse_release(self, button):
+    del button
+    self._mouse_button = None
+    if self._runtime is not None:
+      self.perturbation.release(self._runtime.environment.physics)
+
+  def handle_scroll(self, steps):
+    self.free_camera.zoom(steps)
 
   def _advance_step(self):
     if self._runtime:
@@ -177,18 +225,9 @@ class Application:
 
   def _render_frame(self):
     physics = self._runtime.environment.physics
-    n_cams = int(getattr(physics.model, 'ncam', 0))
-    camera_id = self._camera_id
-    if n_cams == 0:
-      camera_id = -1
-    elif camera_id >= n_cams or camera_id < -1:
-      camera_id = self._camera_id = -1
-    if camera_id == -1:
-      cam = engine.MovableCamera(physics, height=self._height,
-                                 width=self._width)
-    else:
-      cam = engine.Camera(physics, height=self._height,
-                          width=self._width, camera_id=camera_id)
+    cam = self.camera_select.make_camera(physics, width=self._width,
+                                         height=self._height)
+    self._last_camera = cam
     pixels = np.asarray(cam.render())
     overlays = self._layout.render()
     if self._frame_callback is not None:
@@ -204,6 +243,8 @@ class Application:
       self._load_environment()
     time_elapsed = self._frame_timer.tick() * self.time_multiplier.get()
     if self._runtime is not None:
+      if self.perturbation.active:
+        self.perturbation.apply(self._runtime.environment.physics)
       with self._frame_timer.measure_time():
         self._runtime.tick(time_elapsed, self.paused.value)
       if self._frame_timer.measured_time:
