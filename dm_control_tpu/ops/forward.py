@@ -146,11 +146,12 @@ def forward_core(m: Model, d: Data) -> Data:
   return d
 
 
-def fwd_pv(m: Model, d: Data) -> Data:
+def fwd_pv(m: Model, d: Data, compute_sensors: bool = True) -> Data:
   """Position + velocity stages with their sensors (mj_step1 analog)."""
   d = fwd_position(m, d)
   d = fwd_velocity(m, d)
-  d = sensor_ops.sensors(m, d, stages='pv')
+  if compute_sensors:
+    d = sensor_ops.sensors(m, d, stages='pv')
   if m.opt.enableflags & constants.EnableBit.ENERGY:
     d = energy(m, d)
   d = _check_health(m, d)
@@ -366,12 +367,14 @@ def _vm(fn, m: Model):
   return jax.vmap(lambda d: fn(m, d))
 
 
-def fwd_aa_batched(m: Model, D: Data) -> Data:
+def fwd_aa_batched(m: Model, D: Data,
+                   compute_sensors: bool = True) -> Data:
   """Batched actuation + acceleration + constraint + acc sensors."""
   D = _vm(fwd_actuation, m)(D)
   D = _vm(fwd_acceleration, m)(D)
   D = constraint.fwd_constraint_batched(m, D)
-  D = jax.vmap(lambda d: sensor_ops.sensors(m, d, stages='acc'))(D)
+  if compute_sensors:
+    D = jax.vmap(lambda d: sensor_ops.sensors(m, d, stages='acc'))(D)
   return D
 
 
@@ -383,9 +386,10 @@ def forward_core_batched(m: Model, D: Data) -> Data:
   return constraint.fwd_constraint_batched(m, D)
 
 
-def forward_batched(m: Model, D: Data) -> Data:
-  D = _vm(fwd_pv, m)(D)
-  return fwd_aa_batched(m, D)
+def forward_batched(m: Model, D: Data,
+                    compute_sensors: bool = True) -> Data:
+  D = jax.vmap(lambda d: fwd_pv(m, d, compute_sensors))(D)
+  return fwd_aa_batched(m, D, compute_sensors)
 
 
 def _euler_batched(m: Model, D: Data) -> Data:
@@ -423,9 +427,16 @@ def _rk4_batched(m: Model, D: Data) -> Data:
                     time=D0.time + dt)
 
 
-def step_batched(m: Model, D: Data) -> Data:
-  """One simulation step over a leading env axis (batched solves)."""
-  D = forward_batched(m, D)
+def step_batched(m: Model, D: Data,
+                 compute_sensors: bool = True) -> Data:
+  """One simulation step over a leading env axis (batched solves).
+
+  `compute_sensors=False` skips per-substep sensor evaluation — the
+  rollout path reads sensors only from the post-substep pv refresh,
+  and acc-stage sensordata is not reconstructible from the slim carry
+  anyway (it is zeros in batched observations either way).
+  """
+  D = forward_batched(m, D, compute_sensors)
   if m.opt.integrator == constants.IntegratorType.RK4:
     return _rk4_batched(m, D)
   return _euler_batched(m, D)

@@ -107,7 +107,8 @@ class BatchedEnvironment:
       state = forward_ops.slim_state(D)
 
       def body(s, _):
-        Di = forward_ops.step_batched(model, _inflate_b(model, s))
+        Di = forward_ops.step_batched(model, _inflate_b(model, s),
+                                      compute_sensors=False)
         return forward_ops.slim_state(Di), ()
 
       state, _ = jax.lax.scan(body, state, None, length=n_sub)
