@@ -33,34 +33,56 @@ class WalkerType(enum.Enum):
   HUMANOID = 2
 
 
-def _make_walker(name, walker_id, marker_rgba,
-                 walker_type=WalkerType.BOXHEAD):
-  if walker_type == WalkerType.BOXHEAD:
-    return BoxHead(name=name, walker_id=walker_id,
-                   marker_rgba=marker_rgba)
-  if walker_type == WalkerType.ANT:
-    return walkers.Ant(name=name)
-  if walker_type == WalkerType.HUMANOID:
-    from dm_control_tpu.locomotion.soccer import humanoid
-    return humanoid.Humanoid(
-        name=name, walker_id=walker_id, marker_rgba=marker_rgba,
-        visual=humanoid.Humanoid.Visual.JERSEY)
-  raise ValueError('Unrecognized walker type: %s' % walker_type)
+def _boxhead_builder(name, walker_id, marker_rgba):
+  return BoxHead(name=name, walker_id=walker_id,
+                 marker_rgba=marker_rgba)
 
 
-def _make_players(team_size, walker_type):
-  home, away = [], []
-  for i in range(team_size):
-    home.append(Player(Team.HOME, _make_walker(
-        'home%d' % i, i, RGBA_BLUE, walker_type)))
-    away.append(Player(Team.AWAY, _make_walker(
-        'away%d' % i, i, RGBA_RED, walker_type)))
-  return home + away
+def _ant_builder(name, walker_id, marker_rgba):
+  del walker_id, marker_rgba  # the ant has no jersey marker
+  return walkers.Ant(name=name)
 
 
-def _area_to_size(area, aspect_ratio=0.75):
-  """(width, height) from area and aspect ratio."""
-  return np.sqrt([area / aspect_ratio, area * aspect_ratio]) / 2.
+def _humanoid_builder(name, walker_id, marker_rgba):
+  from dm_control_tpu.locomotion.soccer import humanoid
+  return humanoid.Humanoid(
+      name=name, walker_id=walker_id, marker_rgba=marker_rgba,
+      visual=humanoid.Humanoid.Visual.JERSEY)
+
+
+_WALKER_BUILDERS = {
+    WalkerType.BOXHEAD: _boxhead_builder,
+    WalkerType.ANT: _ant_builder,
+    WalkerType.HUMANOID: _humanoid_builder,
+}
+
+
+def _roster(team_size, walker_type):
+  """Both teams' players: blue home side then red away side."""
+  try:
+    build = _WALKER_BUILDERS[walker_type]
+  except KeyError:
+    raise ValueError(f'Unrecognized walker type: {walker_type}')
+  sides = ((Team.HOME, 'home', RGBA_BLUE), (Team.AWAY, 'away', RGBA_RED))
+  return [Player(team, build(f'{prefix}{i}', i, rgba))
+          for team, prefix, rgba in sides for i in range(team_size)]
+
+
+def _pitch_bounds(team_size, walker_type):
+  """(min_size, max_size, goal_size) for the randomized pitch.
+
+  Boxhead/ant matches use the fixed reference envelope; humanoid
+  matches scale the field area per player (mini-football spec)."""
+  if walker_type != WalkerType.HUMANOID:
+    return (32, 24), (48, 36), None
+  n = 2 * team_size
+
+  def half_dims(area, aspect=0.75):
+    return np.sqrt([area / aspect, area * aspect]) / 2.
+
+  return (half_dims(MINI_FOOTBALL_MIN_AREA_PER_HUMANOID * n),
+          half_dims(MINI_FOOTBALL_MAX_AREA_PER_HUMANOID * n),
+          MINI_FOOTBALL_GOAL_SIZE)
 
 
 def load(team_size, time_limit=45., random_state=None,
@@ -70,22 +92,12 @@ def load(team_size, time_limit=45., random_state=None,
   """Constructs a `team_size`-vs-`team_size` soccer environment."""
   if not 1 <= team_size <= 11:
     raise ValueError(
-        'team_size must be between 1 and 11 (got %d)' % team_size)
+        f'team_size must be between 1 and 11 (got {team_size})')
 
-  goal_size = None
-  min_size = (32, 24)
-  max_size = (48, 36)
-  if walker_type == WalkerType.HUMANOID:
-    total_players = 2 * team_size
-    goal_size = MINI_FOOTBALL_GOAL_SIZE
-    min_size = _area_to_size(
-        MINI_FOOTBALL_MIN_AREA_PER_HUMANOID * total_players)
-    max_size = _area_to_size(
-        MINI_FOOTBALL_MAX_AREA_PER_HUMANOID * total_players)
-
+  min_size, max_size, goal_size = _pitch_bounds(team_size, walker_type)
   task_factory = Task if terminate_on_goal else MultiturnTask
   task = task_factory(
-      players=_make_players(team_size, walker_type),
+      players=_roster(team_size, walker_type),
       arena=RandomizedPitch(
           min_size=min_size, max_size=max_size,
           keep_aspect_ratio=keep_aspect_ratio, goal_size=goal_size,

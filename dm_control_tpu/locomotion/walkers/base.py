@@ -52,9 +52,9 @@ class Walker(composer.Entity, metaclass=abc.ABCMeta):
   def reinitialize_pose(self, physics, random_state):
     """Resets the walker via its initializers (reference
     legacy_base.py:49-51); defaults to the declared upright pose."""
-    initializers = getattr(self, '_pose_initializers', None)
-    if initializers:
-      for initializer in initializers:
+    pose_initializers = getattr(self, '_pose_initializers', None)
+    if pose_initializers:
+      for initializer in pose_initializers:
         initializer.initialize_pose(physics, self, random_state)
       return
     pose = self.upright_pose

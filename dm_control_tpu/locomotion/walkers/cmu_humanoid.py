@@ -1,16 +1,23 @@
-"""CMU humanoid walkers (reference locomotion/walkers/cmu_humanoid.py).
+"""CMU humanoid walkers, spec-driven.
 
-The 56-dof humanoid converted from the CMU mocap skeleton, plus the
-position-controlled variants whose [-1, 1] controls map onto joint
-ranges through affine-scaled actuators (scaled_actuators.py). The
+Behavioural counterpart of reference
+locomotion/walkers/cmu_humanoid.py (56-dof humanoid converted from the
+CMU mocap skeleton, plus position-controlled variants whose [-1, 1]
+controls map onto joint ranges through affine-scaled actuators). The
 V2019/V2020 model XMLs are reference data (assets/, attributed).
+
+Design: everything version-specific lives in a `_Generation` spec
+(asset path, spawn pose, per-joint servo table, activation filter,
+rescale policy); the walker classes are thin shells that pick a spec
+and delegate part lookup to one declarative table. This replaces the
+reference's per-class method forest with data.
 """
 
 from __future__ import annotations
 
-import abc
-import collections
+import dataclasses
 import os
+from typing import Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -21,12 +28,10 @@ from dm_control_tpu.locomotion.walkers import base
 from dm_control_tpu.locomotion.walkers import rescale
 from dm_control_tpu.locomotion.walkers import scaled_actuators
 
-_XML_PATH = os.path.join(os.path.dirname(__file__),
-                         'assets/humanoid_CMU_V{model_version}.xml')
+_ASSET_DIR = os.path.join(os.path.dirname(__file__), 'assets')
 
-_WALKER_GEOM_GROUP = 2
-_WALKER_INVIS_GROUP = 1
-
+# Canonical CMU mocap joint order — the clip format's convention, used
+# to reindex between actuator order (alphabetical) and clip order.
 _CMU_MOCAP_JOINTS = (
     'lfemurrz', 'lfemurry', 'lfemurrx', 'ltibiarx', 'lfootrz', 'lfootrx',
     'ltoesrx', 'rfemurrz', 'rfemurry', 'rfemurrx', 'rtibiarx', 'rfootrz',
@@ -40,143 +45,192 @@ _CMU_MOCAP_JOINTS = (
     'rhumerusrz', 'rhumerusry', 'rhumerusrx', 'rradiusrx', 'rwristry',
     'rhandrz', 'rhandrx', 'rfingersrx', 'rthumbrz', 'rthumbrx')
 
-PositionActuatorParams = collections.namedtuple(
-    'PositionActuatorParams', ['name', 'forcerange', 'kp'])
+# Per-joint servo strength for the position-controlled variants:
+# joint -> (|force limit| == kp). Mined from the reference actuator
+# tables (cmu_humanoid.py:53-114); where kp differs from the force
+# limit it is listed in _V2019_KP_OVERRIDES.
+_V2019_SERVO = {
+    'headrx': 20, 'headry': 20, 'headrz': 20,
+    'lclaviclery': 20, 'lclaviclerz': 20,
+    'lfemurrx': 120, 'lfemurry': 80, 'lfemurrz': 80,
+    'lfingersrx': 20, 'lfootrx': 50, 'lfootrz': 50,
+    'lhandrx': 20, 'lhandrz': 20,
+    'lhumerusrx': 60, 'lhumerusry': 60, 'lhumerusrz': 60,
+    'lowerbackrx': 120, 'lowerbackry': 120, 'lowerbackrz': 120,
+    'lowerneckrx': 20, 'lowerneckry': 20, 'lowerneckrz': 20,
+    'lradiusrx': 60, 'lthumbrx': 20, 'lthumbrz': 20,
+    'ltibiarx': 80, 'ltoesrx': 20, 'lwristry': 20,
+    'rclaviclery': 20, 'rclaviclerz': 20,
+    'rfemurrx': 120, 'rfemurry': 80, 'rfemurrz': 80,
+    'rfingersrx': 20, 'rfootrx': 50, 'rfootrz': 50,
+    'rhandrx': 20, 'rhandrz': 20,
+    'rhumerusrx': 60, 'rhumerusry': 60, 'rhumerusrz': 60,
+    'rradiusrx': 60, 'rthumbrx': 20, 'rthumbrz': 20,
+    'rtibiarx': 80, 'rtoesrx': 20, 'rwristry': 20,
+    'thoraxrx': 80, 'thoraxry': 80, 'thoraxrz': 80,
+    'upperbackrx': 80, 'upperbackry': 80, 'upperbackrz': 80,
+    'upperneckrx': 20, 'upperneckry': 20, 'upperneckrz': 20,
+}
+_V2019_KP_OVERRIDES = {
+    'lowerbackrx': 150, 'lowerbackry': 150, 'lowerbackrz': 150,
+    'thoraxrx': 100, 'thoraxry': 100, 'thoraxrz': 100,
+}
 
-# per-joint gains/force limits of the reference position-controlled
-# variant (cmu_humanoid.py:53-114)
-_POSITION_ACTUATORS = [PositionActuatorParams(*p) for p in [
-    ('headrx', [-20, 20], 20), ('headry', [-20, 20], 20),
-    ('headrz', [-20, 20], 20), ('lclaviclery', [-20, 20], 20),
-    ('lclaviclerz', [-20, 20], 20), ('lfemurrx', [-120, 120], 120),
-    ('lfemurry', [-80, 80], 80), ('lfemurrz', [-80, 80], 80),
-    ('lfingersrx', [-20, 20], 20), ('lfootrx', [-50, 50], 50),
-    ('lfootrz', [-50, 50], 50), ('lhandrx', [-20, 20], 20),
-    ('lhandrz', [-20, 20], 20), ('lhumerusrx', [-60, 60], 60),
-    ('lhumerusry', [-60, 60], 60), ('lhumerusrz', [-60, 60], 60),
-    ('lowerbackrx', [-120, 120], 150), ('lowerbackry', [-120, 120], 150),
-    ('lowerbackrz', [-120, 120], 150), ('lowerneckrx', [-20, 20], 20),
-    ('lowerneckry', [-20, 20], 20), ('lowerneckrz', [-20, 20], 20),
-    ('lradiusrx', [-60, 60], 60), ('lthumbrx', [-20, 20], 20),
-    ('lthumbrz', [-20, 20], 20), ('ltibiarx', [-80, 80], 80),
-    ('ltoesrx', [-20, 20], 20), ('lwristry', [-20, 20], 20),
-    ('rclaviclery', [-20, 20], 20), ('rclaviclerz', [-20, 20], 20),
-    ('rfemurrx', [-120, 120], 120), ('rfemurry', [-80, 80], 80),
-    ('rfemurrz', [-80, 80], 80), ('rfingersrx', [-20, 20], 20),
-    ('rfootrx', [-50, 50], 50), ('rfootrz', [-50, 50], 50),
-    ('rhandrx', [-20, 20], 20), ('rhandrz', [-20, 20], 20),
-    ('rhumerusrx', [-60, 60], 60), ('rhumerusry', [-60, 60], 60),
-    ('rhumerusrz', [-60, 60], 60), ('rradiusrx', [-60, 60], 60),
-    ('rthumbrx', [-20, 20], 20), ('rthumbrz', [-20, 20], 20),
-    ('rtibiarx', [-80, 80], 80), ('rtoesrx', [-20, 20], 20),
-    ('rwristry', [-20, 20], 20), ('thoraxrx', [-80, 80], 100),
-    ('thoraxry', [-80, 80], 100), ('thoraxrz', [-80, 80], 100),
-    ('upperbackrx', [-80, 80], 80), ('upperbackry', [-80, 80], 80),
-    ('upperbackrz', [-80, 80], 80), ('upperneckrx', [-20, 20], 20),
-    ('upperneckry', [-20, 20], 20), ('upperneckrz', [-20, 20], 20),
-]]
-
-PositionActuatorParamsV2020 = collections.namedtuple(
-    'PositionActuatorParamsV2020',
-    ['name', 'forcerange', 'kp', 'damping'])
-
-_POSITION_ACTUATORS_V2020 = [PositionActuatorParamsV2020(*p) for p in [
-    ('headrx', [-40, 40], 40, 2), ('headry', [-40, 40], 40, 2),
-    ('headrz', [-40, 40], 40, 2), ('lclaviclery', [-80, 80], 80, 20),
-    ('lclaviclerz', [-80, 80], 80, 20),
-    ('lfemurrx', [-300, 300], 300, 15),
-    ('lfemurry', [-200, 200], 200, 10),
-    ('lfemurrz', [-200, 200], 200, 10),
-    ('lfingersrx', [-20, 20], 20, 1), ('lfootrx', [-120, 120], 120, 6),
-    ('lfootrz', [-50, 50], 50, 3), ('lhandrx', [-20, 20], 20, 1),
-    ('lhandrz', [-20, 20], 20, 1), ('lhumerusrx', [-120, 120], 120, 6),
-    ('lhumerusry', [-120, 120], 120, 6),
-    ('lhumerusrz', [-120, 120], 120, 6),
-    ('lowerbackrx', [-300, 300], 300, 15),
-    ('lowerbackry', [-180, 180], 180, 20),
-    ('lowerbackrz', [-200, 200], 200, 20),
-    ('lowerneckrx', [-120, 120], 120, 20),
-    ('lowerneckry', [-120, 120], 120, 20),
-    ('lowerneckrz', [-120, 120], 120, 20),
-    ('lradiusrx', [-90, 90], 90, 5), ('lthumbrx', [-20, 20], 20, 1),
-    ('lthumbrz', [-20, 20], 20, 1), ('ltibiarx', [-160, 160], 160, 8),
-    ('ltoesrx', [-20, 20], 20, 1), ('lwristry', [-20, 20], 20, 1),
-    ('rclaviclery', [-80, 80], 80, 20),
-    ('rclaviclerz', [-80, 80], 80, 20),
-    ('rfemurrx', [-300, 300], 300, 15),
-    ('rfemurry', [-200, 200], 200, 10),
-    ('rfemurrz', [-200, 200], 200, 10),
-    ('rfingersrx', [-20, 20], 20, 1), ('rfootrx', [-120, 120], 120, 6),
-    ('rfootrz', [-50, 50], 50, 3), ('rhandrx', [-20, 20], 20, 1),
-    ('rhandrz', [-20, 20], 20, 1), ('rhumerusrx', [-120, 120], 120, 6),
-    ('rhumerusry', [-120, 120], 120, 6),
-    ('rhumerusrz', [-120, 120], 120, 6),
-    ('rradiusrx', [-90, 90], 90, 5), ('rthumbrx', [-20, 20], 20, 1),
-    ('rthumbrz', [-20, 20], 20, 1), ('rtibiarx', [-160, 160], 160, 8),
-    ('rtoesrx', [-20, 20], 20, 1), ('rwristry', [-20, 20], 20, 1),
-    ('thoraxrx', [-300, 300], 300, 15), ('thoraxry', [-80, 80], 80, 8),
-    ('thoraxrz', [-200, 200], 200, 12),
-    ('upperbackrx', [-300, 300], 300, 15),
-    ('upperbackry', [-80, 80], 80, 8),
-    ('upperbackrz', [-200, 200], 200, 12),
-    ('upperneckrx', [-60, 60], 60, 10),
-    ('upperneckry', [-60, 60], 60, 10),
-    ('upperneckrz', [-60, 60], 60, 10),
-]]
-
-_UPRIGHT_POS = (0.0, 0.0, 0.94)
-_UPRIGHT_POS_V2020 = (0.0, 0.0, 1.143)
-_UPRIGHT_QUAT = (0.859, 1.0, 1.0, 0.859)
+# V2020 retune: joint -> (|force limit| == kp, joint damping).
+_V2020_SERVO = {
+    'headrx': (40, 2), 'headry': (40, 2), 'headrz': (40, 2),
+    'lclaviclery': (80, 20), 'lclaviclerz': (80, 20),
+    'lfemurrx': (300, 15), 'lfemurry': (200, 10), 'lfemurrz': (200, 10),
+    'lfingersrx': (20, 1), 'lfootrx': (120, 6), 'lfootrz': (50, 3),
+    'lhandrx': (20, 1), 'lhandrz': (20, 1),
+    'lhumerusrx': (120, 6), 'lhumerusry': (120, 6), 'lhumerusrz': (120, 6),
+    'lowerbackrx': (300, 15), 'lowerbackry': (180, 20),
+    'lowerbackrz': (200, 20),
+    'lowerneckrx': (120, 20), 'lowerneckry': (120, 20),
+    'lowerneckrz': (120, 20),
+    'lradiusrx': (90, 5), 'lthumbrx': (20, 1), 'lthumbrz': (20, 1),
+    'ltibiarx': (160, 8), 'ltoesrx': (20, 1), 'lwristry': (20, 1),
+    'rclaviclery': (80, 20), 'rclaviclerz': (80, 20),
+    'rfemurrx': (300, 15), 'rfemurry': (200, 10), 'rfemurrz': (200, 10),
+    'rfingersrx': (20, 1), 'rfootrx': (120, 6), 'rfootrz': (50, 3),
+    'rhandrx': (20, 1), 'rhandrz': (20, 1),
+    'rhumerusrx': (120, 6), 'rhumerusry': (120, 6), 'rhumerusrz': (120, 6),
+    'rradiusrx': (90, 5), 'rthumbrx': (20, 1), 'rthumbrz': (20, 1),
+    'rtibiarx': (160, 8), 'rtoesrx': (20, 1), 'rwristry': (20, 1),
+    'thoraxrx': (300, 15), 'thoraxry': (80, 8), 'thoraxrz': (200, 12),
+    'upperbackrx': (300, 15), 'upperbackry': (80, 8),
+    'upperbackrz': (200, 12),
+    'upperneckrx': (60, 10), 'upperneckry': (60, 10),
+    'upperneckrz': (60, 10),
+}
 
 _STAND_HEIGHT = 1.5
 _TORQUE_THRESHOLD = 60
+_INVIS_GROUP = 1
 
 
-class _CMUHumanoidBase(base.Walker, metaclass=abc.ABCMeta):
-  """The abstract base for walkers compatible with the CMU humanoid."""
+@dataclasses.dataclass(frozen=True)
+class _Generation:
+  """Everything that differs between the 2019 and 2020 skeletons."""
+  xml: str
+  spawn_z: float
+  servo: Optional[Mapping[str, Tuple[int, ...]]] = None
+  act_filter: Optional[float] = None     # activation filter timeconst
+  rescale: Optional[Tuple[float, float, float]] = None
+  face: bool = False
+
+  def load(self) -> mjcf.RootElement:
+    return mjcf.from_path(os.path.join(_ASSET_DIR, self.xml))
+
+
+_GEN_2019 = _Generation(xml='humanoid_CMU_V2019.xml', spawn_z=0.94)
+_GEN_2019_POS = dataclasses.replace(
+    _GEN_2019,
+    servo={j: (f, _V2019_KP_OVERRIDES.get(j, f))
+           for j, f in _V2019_SERVO.items()})
+_GEN_2020_POS = _Generation(
+    xml='humanoid_CMU_V2020.xml', spawn_z=1.143,
+    servo={j: (f, f, d) for j, (f, d) in _V2020_SERVO.items()},
+    act_filter=0.030, rescale=(1.2, 1.2, 70), face=True)
+
+# Semantic part name -> (namespace, identifier). One lookup table
+# instead of one property per part.
+_PARTS = {
+    'root_body': ('body', 'root'),
+    'head': ('body', 'head'),
+    'left_arm_root': ('body', 'lclavicle'),
+    'right_arm_root': ('body', 'rclavicle'),
+    'egocentric_camera': ('camera', 'egocentric'),
+    'body_camera': ('camera', 'bodycam'),
+}
+_MARKER_GEOMS = ('rradius', 'lradius')
+_END_EFFECTOR_BODIES = ('rradius', 'lradius', 'rfoot', 'lfoot')
+_FOOT_BODIES = ('lfoot', 'rfoot')
+
+
+def _retrofit_servos(root: mjcf.RootElement, gen: _Generation) -> None:
+  """Swap the XML's torque motors for [-1,1] position servos.
+
+  Gains/limits come from the generation's servo table; the 2020
+  generation additionally retunes joint damping and adds a first-order
+  activation filter to every servo.
+  """
+  root.default.general.forcelimited = 'true'
+  for motor in tuple(root.actuator.get_children('motor')):
+    motor.remove()
+  for jname in sorted(gen.servo):
+    entry = gen.servo[jname]
+    fmax, kp = entry[0], entry[1]
+    joint = root.find('joint', jname)
+    if len(entry) > 2:
+      joint.damping = entry[2]
+    act = scaled_actuators.add_position_actuator(
+        name=jname, target=joint, kp=kp, qposrange=joint.range,
+        ctrlrange=(-1, 1), forcerange=(-fmax, fmax))
+    if gen.act_filter is not None:
+      act.dyntype = 'filter'
+      act.dynprm = [gen.act_filter]
+
+
+def _attach_face(root: mjcf.RootElement) -> None:
+  """Massless face + nose geoms marking head orientation (2020 model;
+  mocap head-tracking rewards need a forward direction)."""
+  head = root.find('body', 'head')
+  head.add('geom', type='capsule', name='face',
+           size=[0.065, 0.014], pos=[0.000341465, 0.048184, 0.01],
+           quat=[0.717887, 0.696142, -0.00493334, 0], mass=0.,
+           contype=0, conaffinity=0)
+  nose_len = np.asarray(root.find('geom', 'head').size)[0] / 4.75
+  face_body = head.add(
+      'body', name='face', pos=[0.0, 0.039, np.asarray(head.pos)[1] - .02])
+  face_body.add('geom', type='capsule', name='nose',
+                size=[nose_len, 0.01], pos=[0.0, 0.0, 0.0],
+                quat=[1, 0.7, 0, 0], mass=0., contype=0, conaffinity=0,
+                group=_INVIS_GROUP)
+
+
+class CMUHumanoid(base.Walker):
+  """A CMU humanoid walker (torque-actuated, V2019 skeleton)."""
+
+  _GEN = _GEN_2019
 
   def _build(self, name='walker', marker_rgba=None, include_face=False,
              initializer=None):
+    gen = self._GEN
     self.set_pose_initializers(initializer)
-    self._mjcf_root = mjcf.from_path(self._xml_path)
+    self._mjcf_root = gen.load()
     if name:
       self._mjcf_root.model = name
-
     if marker_rgba is not None:
       for geom in self.marker_geoms:
         geom.rgba = marker_rgba
-
+    if gen.rescale is not None:
+      # NOTE: rescaling does not propagate into attached hands
+      rescale.rescale_humanoid(self, *gen.rescale)
+    if include_face or gen.face:
+      _attach_face(self._mjcf_root)
+    if gen.servo is not None:
+      _retrofit_servos(self._mjcf_root, gen)
+      ranges = np.array([a.joint.range for a in self.actuators])
+      self._ctrl_scale = ranges[:, 1] - ranges[:, 0]
+      self._ctrl_offset = ranges[:, 1] + ranges[:, 0]
+    # actuators are declared alphabetically; mocap clips use the
+    # canonical CMU order
     self._actuator_order = np.argsort(_CMU_MOCAP_JOINTS)
     self._inverse_order = np.argsort(self._actuator_order)
-
-    if include_face:
-      head = self._mjcf_root.find('body', 'head')
-      head.add('geom', type='capsule', name='face',
-               size=[0.065, 0.014], pos=[0.000341465, 0.048184, 0.01],
-               quat=[0.717887, 0.696142, -0.00493334, 0], mass=0.,
-               contype=0, conaffinity=0)
-      face_forwardness = np.asarray(head.pos)[1] - .02
-      head_geom = self._mjcf_root.find('geom', 'head')
-      nose_size = np.asarray(head_geom.size)[0] / 4.75
-      face = head.add('body', name='face',
-                      pos=[0.0, 0.039, face_forwardness])
-      face.add('geom', type='capsule', name='nose',
-               size=[nose_size, 0.01], pos=[0.0, 0.0, 0.0],
-               quat=[1, 0.7, 0, 0], mass=0., contype=0, conaffinity=0,
-               group=_WALKER_INVIS_GROUP)
 
   def _build_observables(self):
     return CMUHumanoidObservables(self)
 
-  @property
-  @abc.abstractmethod
-  def _xml_path(self):
-    raise NotImplementedError
+  def _part(self, key):
+    namespace, ident = _PARTS[key]
+    return self._mjcf_root.find(namespace, ident)
 
+  # ---------------- canonical-order plumbing ----------------
   @property
   def mocap_joints(self):
-    return tuple(self._mjcf_root.find('joint', name)
-                 for name in _CMU_MOCAP_JOINTS)
+    return tuple(self._mjcf_root.find('joint', n)
+                 for n in _CMU_MOCAP_JOINTS)
 
   @property
   def actuator_order(self):
@@ -188,51 +242,47 @@ class _CMUHumanoidBase(base.Walker, metaclass=abc.ABCMeta):
     """Canonical CMU joint index -> actuator index."""
     return self._inverse_order
 
-  @property
-  def upright_pose(self):
-    return base.WalkerPose(xpos=_UPRIGHT_POS, xquat=_UPRIGHT_QUAT)
-
+  # ---------------- parts ----------------
   @property
   def mjcf_model(self):
     return self._mjcf_root
 
   @property
+  def upright_pose(self):
+    return base.WalkerPose(xpos=(0.0, 0.0, self._GEN.spawn_z),
+                           xquat=(0.859, 1.0, 1.0, 0.859))
+
+  @property
   def actuators(self):
     return tuple(self._mjcf_root.find_all('actuator'))
 
-  @property
-  def root_body(self):
-    return self._mjcf_root.find('body', 'root')
+  root_body = property(lambda self: self._part('root_body'))
+  head = property(lambda self: self._part('head'))
+  left_arm_root = property(lambda self: self._part('left_arm_root'))
+  right_arm_root = property(lambda self: self._part('right_arm_root'))
+  egocentric_camera = property(
+      lambda self: self._part('egocentric_camera'))
+  body_camera = property(lambda self: self._part('body_camera'))
 
   @property
-  def head(self):
-    return self._mjcf_root.find('body', 'head')
+  def marker_geoms(self):
+    return tuple(self._mjcf_root.find('geom', n) for n in _MARKER_GEOMS)
 
   @property
-  def left_arm_root(self):
-    return self._mjcf_root.find('body', 'lclavicle')
-
-  @property
-  def right_arm_root(self):
-    return self._mjcf_root.find('body', 'rclavicle')
+  def end_effectors(self):
+    return tuple(self._mjcf_root.find('body', n)
+                 for n in _END_EFFECTOR_BODIES)
 
   @property
   def ground_contact_geoms(self):
-    lfoot = self._mjcf_root.find('body', 'lfoot')
-    rfoot = self._mjcf_root.find('body', 'rfoot')
-    return tuple(lfoot.get_children('geom') +
-                 rfoot.get_children('geom'))
+    geoms = []
+    for n in _FOOT_BODIES:
+      geoms.extend(self._mjcf_root.find('body', n).get_children('geom'))
+    return tuple(geoms)
 
   @property
   def standing_height(self):
     return _STAND_HEIGHT
-
-  @property
-  def end_effectors(self):
-    return (self._mjcf_root.find('body', 'rradius'),
-            self._mjcf_root.find('body', 'lradius'),
-            self._mjcf_root.find('body', 'rfoot'),
-            self._mjcf_root.find('body', 'lfoot'))
 
   @property
   def observable_joints(self):
@@ -245,90 +295,37 @@ class _CMUHumanoidBase(base.Walker, metaclass=abc.ABCMeta):
 
   @property
   def mocap_tracking_bodies(self):
-    """Bodies for mocap tracking (every body except the root)."""
-    root_body = self._mjcf_root.find('body', 'root')
-    return tuple(b for b in self._mjcf_root.find_all('body')
-                 if b is not root_body)
-
-  @property
-  def egocentric_camera(self):
-    return self._mjcf_root.find('camera', 'egocentric')
-
-  @property
-  def body_camera(self):
-    return self._mjcf_root.find('camera', 'bodycam')
-
-  @property
-  def marker_geoms(self):
-    return (self._mjcf_root.find('geom', 'rradius'),
-            self._mjcf_root.find('geom', 'lradius'))
-
-
-class CMUHumanoid(_CMUHumanoidBase):
-  """A CMU humanoid walker."""
-
-  @property
-  def _xml_path(self):
-    return _XML_PATH.format(model_version='2019')
+    """All bodies except the root (its pose is the tracking target)."""
+    root = self.root_body
+    return tuple(b for b in self.bodies if b is not root)
 
 
 class CMUHumanoidPositionControlled(CMUHumanoid):
   """Position-controlled CMU humanoid, controls scaled to [-1, 1]."""
 
+  _GEN = _GEN_2019_POS
+
   def _build(self, model_version='2019', **kwargs):
-    self._version = model_version
-    scale_default = kwargs.pop('scale_default', False)
+    if model_version == '2020':
+      self._GEN = _GEN_2020_POS
+    if kwargs.pop('scale_default', False) and self._GEN.rescale is None:
+      self._GEN = dataclasses.replace(self._GEN, rescale=(1.2, 1.2, 70))
     super()._build(**kwargs)
 
-    if scale_default:
-      # NOTE: this rescaling doesn't affect attached hands
-      rescale.rescale_humanoid(self, 1.2, 1.2, 70)
-
-    if self._version == '2020':
-      position_actuators = _POSITION_ACTUATORS_V2020
-    else:
-      position_actuators = _POSITION_ACTUATORS
-    self._mjcf_root.default.general.forcelimited = 'true'
-    # replace the torque motors with scaled position actuators
-    for motor in list(self._mjcf_root.actuator.get_children('motor')):
-      motor.remove()
-    for params in position_actuators:
-      associated_joint = self._mjcf_root.find('joint', params.name)
-      if hasattr(params, 'damping'):
-        associated_joint.damping = params.damping
-      actuator = scaled_actuators.add_position_actuator(
-          name=params.name, target=associated_joint, kp=params.kp,
-          qposrange=associated_joint.range, ctrlrange=(-1, 1),
-          forcerange=params.forcerange)
-      if self._version == '2020':
-        actuator.dyntype = 'filter'
-        actuator.dynprm = [0.030]
-    limits = zip(*(a.joint.range for a in self.actuators))
-    lower, upper = (np.array(limit) for limit in limits)
-    self._scale = upper - lower
-    self._offset = upper + lower
-
-  @property
-  def _xml_path(self):
-    return _XML_PATH.format(model_version=self._version)
-
   def cmu_pose_to_actuation(self, target_pose):
-    """Control signal driving joints toward a canonical-CMU-order
-    pose (reference cmu_humanoid.py:406-421)."""
-    return ((2 * np.asarray(target_pose)[self.actuator_order] -
-             self._offset) / self._scale)
+    """Control signal driving joints toward a canonical-CMU-order pose
+    (reference cmu_humanoid.py:406-421: invert the affine ctrl->qpos
+    map of each servo)."""
+    reordered = np.asarray(target_pose)[self.actuator_order]
+    return (2 * reordered - self._ctrl_offset) / self._ctrl_scale
 
 
 class CMUHumanoidPositionControlledV2020(CMUHumanoidPositionControlled):
-  """2020 CMU humanoid (rescaled, with a face for head orientation)."""
+  """2020 CMU humanoid (rescaled 1.2x, with a face, filtered servos)."""
 
   def _build(self, **kwargs):
-    super()._build(model_version='2020', scale_default=True,
-                   include_face=True, **kwargs)
-
-  @property
-  def upright_pose(self):
-    return base.WalkerPose(xpos=_UPRIGHT_POS_V2020, xquat=_UPRIGHT_QUAT)
+    kwargs.setdefault('model_version', '2020')
+    super()._build(**kwargs)
 
 
 class CMUHumanoidObservables(base.WalkerObservables):
@@ -350,13 +347,12 @@ class CMUHumanoidObservables(base.WalkerObservables):
 
   @composer.observable
   def sensors_torque(self):
-    sensors = [s for s in
-               self._entity.mjcf_model.find_all('sensor')
-               if s.tag == 'torque']
-    return observable.MJCFFeature(
-        'sensordata', sensors,
-        corruptor=lambda v, random_state: np.tanh(
-            2 * v / _TORQUE_THRESHOLD))
+    torque_sensors = [
+        s for s in self._entity.mjcf_model.find_all('sensor')
+        if s.tag == 'torque']
+    squash = lambda v, random_state: np.tanh(2 * v / _TORQUE_THRESHOLD)
+    return observable.MJCFFeature('sensordata', torque_sensors,
+                                  corruptor=squash)
 
   @composer.observable
   def actuator_activation(self):
@@ -365,17 +361,14 @@ class CMUHumanoidObservables(base.WalkerObservables):
 
   @composer.observable
   def appendages_pos(self):
-    """end_effectors_pos with the head appended, egocentric."""
-    def relative_pos_in_egocentric_frame(physics):
-      end_effectors_with_head = (
-          self._entity.end_effectors + (self._entity.head,))
-      end_effector = np.asarray(
-          physics.bind(end_effectors_with_head).xpos)
-      torso = np.asarray(physics.bind(self._entity.root_body).xpos)
-      xmat = np.reshape(np.asarray(
-          physics.bind(self._entity.root_body).xmat), (3, 3))
-      return np.reshape(np.dot(end_effector - torso, xmat), -1)
-    return observable.Generic(relative_pos_in_egocentric_frame)
+    """End effectors + head, positions in the egocentric frame."""
+    def egocentric_appendages(physics):
+      appendages = self._entity.end_effectors + (self._entity.head,)
+      pos = np.asarray(physics.bind(appendages).xpos)
+      root = physics.bind(self._entity.root_body)
+      rmat = np.asarray(root.xmat).reshape(3, 3)
+      return ((pos - np.asarray(root.xpos)) @ rmat).ravel()
+    return observable.Generic(egocentric_appendages)
 
   @property
   def proprioception(self):

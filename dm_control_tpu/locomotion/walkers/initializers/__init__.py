@@ -13,6 +13,26 @@ import abc
 import numpy as np
 
 
+def settle(physics, walker, pose) -> None:
+  """Writes a WalkerPose (joints + root frame) and zeroes velocity.
+
+  A pose with qpos=None means "every joint at its reference qpos0".
+  Shared by UprightInitializer and base.Walker.reinitialize_pose so
+  the two paths cannot drift apart.
+  """
+  if pose.qpos is None:
+    joints = walker.mjcf_model.find_all('joint')
+    walker.configure_joints(physics, physics.bind(joints).qpos0)
+  else:
+    walker.configure_joints(physics, pose.qpos)
+  walker.set_pose(physics, position=pose.xpos, quaternion=pose.xquat)
+  try:
+    walker.set_velocity(physics, velocity=np.zeros(3),
+                        angular_velocity=np.zeros(3))
+  except ValueError:
+    pass  # fixed-base walker: no free root to zero
+
+
 class WalkerInitializer(metaclass=abc.ABCMeta):
   """Strategy interface: put `walker` into a starting pose."""
 
@@ -21,21 +41,19 @@ class WalkerInitializer(metaclass=abc.ABCMeta):
     raise NotImplementedError
 
 
+class NoOpInitializer(WalkerInitializer):
+  """Leaves the walker wherever it is."""
+
+  def initialize_pose(self, physics, walker, random_state):
+    pass
+
+
 class UprightInitializer(WalkerInitializer):
   """The walker-declared upright pose, at rest."""
 
   def initialize_pose(self, physics, walker, random_state):
     del random_state
-    pose = walker.upright_pose
-    if pose.qpos is None:
-      # no explicit configuration: settle every joint at qpos0
-      joints = physics.bind(walker.mjcf_model.find_all('joint'))
-      walker.configure_joints(physics, joints.qpos0)
-    else:
-      walker.configure_joints(physics, pose.qpos)
-    walker.set_pose(physics, position=pose.xpos, quaternion=pose.xquat)
-    walker.set_velocity(physics, velocity=np.zeros(3),
-                        angular_velocity=np.zeros(3))
+    settle(physics, walker, walker.upright_pose)
 
 
 class RandomlySampledInitializer(WalkerInitializer):
@@ -45,12 +63,5 @@ class RandomlySampledInitializer(WalkerInitializer):
     self._choices = tuple(initializers)
 
   def initialize_pose(self, physics, walker, random_state):
-    chosen = self._choices[random_state.randint(len(self._choices))]
-    chosen.initialize_pose(physics, walker, random_state)
-
-
-class NoOpInitializer(WalkerInitializer):
-  """Leaves the walker wherever it is."""
-
-  def initialize_pose(self, physics, walker, random_state):
-    pass
+    pick = random_state.randint(len(self._choices))
+    self._choices[pick].initialize_pose(physics, walker, random_state)

@@ -24,6 +24,14 @@ _EAR_SPECS = (((.22, 0, 0), (.7, 0, 0, 1)),
 
 _CAMERA_RIG = ('camera_height', 'camera_tilt')
 
+_SLIDE_AXES = {'x': (1, 0, 0), 'y': (0, 1, 0), 'z': (0, 0, 1)}
+
+
+def _quat_yaw(quaternion):
+  """Rotation about +z encoded in a wxyz quaternion."""
+  w, x, y, z = quaternion
+  return np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+
 
 class JumpingBallWithHead(base.Walker):
   """A rollable and jumpable ball with a head."""
@@ -65,14 +73,13 @@ class JumpingBallWithHead(base.Walker):
     return [self._mjcf_root.find('geom', 'head')]
 
   def create_root_joints(self, attachment_frame):
-    """Planar x/y/z slide root instead of a freejoint."""
+    """Translation-only x/y/z slide root instead of a freejoint."""
     root_class = self._mjcf_root.find('default', 'root')
     self._root_joints = [
         attachment_frame.add('joint', name=f'root_{axis_name}',
-                             type='slide', axis=axis,
+                             type='slide', axis=list(axis),
                              dclass=root_class)
-        for axis_name, axis in (('x', [1, 0, 0]), ('y', [0, 1, 0]),
-                                ('z', [0, 0, 1]))]
+        for axis_name, axis in _SLIDE_AXES.items()]
 
   def set_pose(self, physics, position=None, quaternion=None):
     if position is not None:
@@ -82,19 +89,21 @@ class JumpingBallWithHead(base.Walker):
         super().set_pose(physics, position, quaternion=None)
     physics.bind(self._mjcf_root.find_all('joint')).qpos = 0.
     if quaternion is not None:
-      # yaw is the only attitude dof: extract it from the quaternion
-      w, x, y, z = quaternion
-      yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
-      physics.bind(self._mjcf_root.find('joint', 'steer')).qpos = yaw
+      # yaw is the ball's only attitude dof; it lives on the steer
+      # joint, not the root
+      steer = self._mjcf_root.find('joint', 'steer')
+      physics.bind(steer).qpos = _quat_yaw(quaternion)
 
   def initialize_episode(self, physics, random_state):
     del random_state
     if self._camera_control:
-      # hold the camera rig against gravity
+      # hold the camera rig against gravity so its dofs only see the
+      # actuators
       rig = physics.bind(
           self._mjcf_root.find('body', 'egocentric_camera'))
-      gravity = np.hstack([physics.model.opt.gravity, [0, 0, 0]])
-      rig.xfrc_applied = -gravity * rig.mass[..., None]
+      weight = rig.mass[..., None] * np.hstack(
+          [physics.model.opt.gravity, np.zeros(3)])
+      rig.xfrc_applied = -weight
 
   mjcf_model = property(lambda self: self._mjcf_root)
 

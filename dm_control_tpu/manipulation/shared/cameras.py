@@ -9,10 +9,31 @@ and a helper wiring them up as configured camera observables.
 """
 
 import collections
+import dataclasses
+from typing import Tuple
 
 from dm_control_tpu.composer.observation import observable
 
-CameraSpec = collections.namedtuple('CameraSpec', ['name', 'pos', 'xyaxes'])
+
+@dataclasses.dataclass(frozen=True)
+class CameraSpec:
+  """A named fixed viewpoint; knows how to mount itself on an arena."""
+  name: str
+  pos: Tuple[float, ...]
+  xyaxes: Tuple[float, ...]
+
+  def attach_observable(self, entity, camera_settings):
+    """Mounts this camera on `entity` and returns its observable."""
+    mount = entity.mjcf_model.worldbody.add(
+        'camera', name=self.name, pos=self.pos, xyaxes=self.xyaxes)
+    view = observable.MJCFCamera(mount)
+    view.configure(**camera_settings._asdict())
+    return view
+
+  # back-compat with namedtuple-style consumers
+  def _asdict(self):
+    return dataclasses.asdict(self)
+
 
 # viewpoint name -> (position, xyaxes); values are task-spec constants
 _VIEWPOINTS = {
@@ -30,10 +51,6 @@ FRONT_CLOSE, FRONT_FAR, TOP_DOWN, LEFT_CLOSE, RIGHT_CLOSE = (
 
 def add_camera_observables(entity, obs_settings, *camera_specs):
   """Mounts cameras on `entity` and returns configured observables."""
-  out = collections.OrderedDict()
-  for spec in camera_specs:
-    mount = entity.mjcf_model.worldbody.add('camera', **spec._asdict())
-    view = observable.MJCFCamera(mount)
-    view.configure(**obs_settings.camera._asdict())
-    out[spec.name] = view
-  return out
+  return collections.OrderedDict(
+      (spec.name, spec.attach_observable(entity, obs_settings.camera))
+      for spec in camera_specs)

@@ -19,7 +19,22 @@ from dm_control_tpu.manipulation.shared import constants
 
 DOWN_QUATERNION = base.DOWN_QUATERNION
 
-BoundingBox = collections.namedtuple('BoundingBox', ['lower', 'upper'])
+
+class BoundingBox(collections.namedtuple('BoundingBox',
+                                         ['lower', 'upper'])):
+  """An axis-aligned region, with derived geometry for site markers."""
+
+  __slots__ = ()
+
+  @property
+  def center(self):
+    return (np.asarray(self.lower) + np.asarray(self.upper)) / 2.
+
+  @property
+  def half_extents(self):
+    """Half sizes, floored at 1e-6 so marker sites stay valid."""
+    span = np.asarray(self.upper) - np.asarray(self.lower)
+    return np.maximum(span / 2., 1e-6)
 
 # Yaw-only random orientation. single_sample: PropPlacer feeds the
 # previous quaternion as initial_value, which would otherwise broadcast
@@ -29,19 +44,22 @@ uniform_z_rotation = rotations.QuaternionFromAxisAngle(
     angle=distributions.Uniform(-np.pi, np.pi, single_sample=True))
 
 
-def _site_group(visible):
-  return None if visible else constants.TASK_SITE_GROUP
+def _region_site(body, visible, **site_attrs):
+  """A site marking a task region; hidden in the task-site group
+  unless `visible`."""
+  site_attrs.setdefault(
+      'group', None if visible else constants.TASK_SITE_GROUP)
+  return body.add('site', **site_attrs)
 
 
 def add_bbox_site(body, lower, upper, visible=False, **kwargs):
   """Marks an axis-aligned box region with a site."""
-  lower, upper = np.asarray(lower), np.asarray(upper)
-  half = np.maximum((upper - lower) / 2., 1e-6)
-  return body.add('site', type='box', pos=(lower + upper) / 2.,
-                  size=half, group=_site_group(visible), **kwargs)
+  box = BoundingBox(lower, upper)
+  return _region_site(body, visible, type='box', pos=box.center,
+                      size=box.half_extents, **kwargs)
 
 
 def add_target_site(body, radius, visible=False, **kwargs):
   """Marks a spherical target location with a site."""
-  return body.add('site', type='sphere', size=[radius],
-                  group=_site_group(visible), **kwargs)
+  return _region_site(body, visible, type='sphere', size=[radius],
+                      **kwargs)

@@ -222,6 +222,11 @@ class Environment(dm_env.Environment):
   def control_timestep(self) -> float:
     return float(self._model.opt.timestep) * self._n_sub_steps
 
+  @property
+  def n_sub_steps(self) -> int:
+    """Physics steps per control step (reference rl/control.py:64-78)."""
+    return self._n_sub_steps
+
   # ------------------------------------------------------------------
   def reset(self) -> dm_env.TimeStep:
     self._reset_next_step = False

@@ -4,13 +4,23 @@ NOTE: in this environment the 'axon' TPU plugin registers itself as the
 default backend and the JAX_PLATFORMS env var is ignored — platform
 selection must go through jax.config BEFORE any backend initializes.
 Real-chip benchmarking happens in bench.py, not tests.
+
+The persistent compilation cache is keyed by the host CPU signature
+(see dm_control_tpu/_cache.py): XLA:CPU AOT executables from a
+different machine abort the process on load, which is what killed
+full-suite runs at round 4 (SIGABRT inside put_executable_and_time
+while a mismatched cache was active).
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 
 import jax
 
+from dm_control_tpu import _cache
+
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+_cache.configure(jax.config, os.path.dirname(os.path.dirname(__file__)),
+                 min_compile_time_secs=1.0)
