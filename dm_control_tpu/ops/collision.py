@@ -627,24 +627,33 @@ def collision(m: Model, d: Data) -> Data:
         slot_g1[:, None].astype(dtype), slot_g2[:, None].astype(dtype),
         jnp.asarray(cap_tangent, dtype=dtype)[:, None],
     ], axis=1)                                     # (ncon_max, 16)
-    sel_idx_parts = []
+    # Per-group selection through LOCAL one-hots: top_k indices stay
+    # group-relative (no integer gather of a slot table — XLA lowers
+    # traced-index gathers to a serial loop fusion), and the slot data
+    # is pre-sliced per group with static indices before the (k_c,
+    # n_group) one-hot matmul rides the MXU.
+    sp_parts, pr_parts = [], []
     for cdim in sorted(set(m.pair_condim)):
       grp = np.array([s for s in range(m.ncon_max)
                       if m.pair_condim[s] == cdim], dtype=np.int32)
       k_c = sum(1 for s in m.sel_condim if s == cdim)
-      key = imargin[grp] - dist[grp]
+      packed_g = packed[grp]                       # static gather
+      params_g = params[grp]
       if k_c < len(grp):
+        key = imargin[grp] - dist[grp]
         _, top = jax.lax.top_k(key, k_c)
-        idx = jnp.asarray(grp)[top]
+        ohg = (top[:, None] ==
+               jnp.arange(len(grp), dtype=jnp.int32)).astype(dtype)
         overflow = overflow | (jnp.sum(active[grp]) > k_c)
+        sp_parts.append(ohg @ packed_g)            # (k_c, 8)
+        pr_parts.append(ohg @ params_g)
       else:
-        idx = jnp.asarray(grp)
-      sel_idx_parts.append(idx)
-    sel = (sel_idx_parts[0] if len(sel_idx_parts) == 1
-           else jnp.concatenate(sel_idx_parts))
-    onehot = (sel[:, None] == jnp.arange(m.ncon_max)).astype(dtype)
-    sp = onehot @ packed                           # (ncon_sel, 8)
-    pr = onehot @ params                           # (ncon_sel, 16)
+        sp_parts.append(packed_g)
+        pr_parts.append(params_g)
+    sp = (sp_parts[0] if len(sp_parts) == 1
+          else jnp.concatenate(sp_parts))          # (ncon_sel, 8)
+    pr = (pr_parts[0] if len(pr_parts) == 1
+          else jnp.concatenate(pr_parts))          # (ncon_sel, 16)
     dist = sp[:, 0]
     pos = sp[:, 1:4]
     normal = sp[:, 4:7]

@@ -804,7 +804,8 @@ def fwd_constraint(m: Model, d: Data) -> Data:
       contact=d.contact.replace(force=confrc))
 
 
-def fwd_constraint_batched(m: Model, D: Data) -> Data:
+def fwd_constraint_batched(m: Model, D: Data,
+                           compute_forces: bool = True) -> Data:
   """Batched constraint solve over a leading env axis.
 
   Same math as fwd_constraint, but the Newton loop is written with an
@@ -885,22 +886,40 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
   # iteration cap (the while_loop runs until EVERY env converges).
   eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
+  # DOF padding: the Pallas direction solve works on 8-aligned systems;
+  # zero-padding J / identity-padding M ONCE here (extra dofs stay
+  # exactly zero through every matvec) removes the per-iteration
+  # pad/unpad dynamic-update-slices inside the solve.
+  nvp = max(8, -(-m.nv // 8) * 8)
+
+  def _pad_nv(J, M, a0):
+    if nvp == m.nv:
+      return J, M, a0
+    Bn = J.shape[0]
+    Jp = jnp.zeros((Bn, nvp, J.shape[-1]), dtype)
+    Jp = Jp.at[:, :m.nv, :].set(J)
+    Mp = jnp.zeros((Bn, nvp, nvp), dtype)
+    Mp = Mp.at[:, np.arange(m.nv, nvp), np.arange(m.nv, nvp)].set(1.0)
+    Mp = Mp.at[:, :m.nv, :m.nv].set(M)
+    a0p = jnp.zeros((Bn, nvp), dtype).at[:, :m.nv].set(a0)
+    return Jp, Mp, a0p
+
   def make_solver(J, M, a0, aref, dweight, eq, fric, floss, mu_rows):
     """Closure bundle (jmul/cost/newton/loop) over one batch slice —
     built twice: once for the full batch, once for the straggler tail
-    after compaction."""
+    after compaction. J/M/a0 arrive nv-padded (see _pad_nv)."""
     cone_args = (dweight, eq, fric, floss, mu_rows, groups)
 
     def row_force(jar):
       return _row_force_cone(jar, *cone_args)
 
-    def jmul(x):                 # (B, nv) -> (B, nefc)
+    def jmul(x):                 # (B, nvp) -> (B, nefc)
       return jnp.einsum('bv,bve->be', x, J)
 
-    def jtmul(f):                # (B, nefc) -> (B, nv)
+    def jtmul(f):                # (B, nefc) -> (B, nvp)
       return jnp.einsum('bve,be->bv', J, f)
 
-    def mmul(x):                 # (B, nv) -> (B, nv)
+    def mmul(x):                 # (B, nvp) -> (B, nvp)
       return jnp.einsum('bij,bj->bi', M, x)
 
     def cost_of(x):
@@ -912,15 +931,25 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
     scale = jnp.maximum(
         jnp.trace(M, axis1=-2, axis2=-1) / max(m.nv, 1), 1e-12)
 
-    # Gauss-Newton direction in reduced precision: the Hessian only
-    # steers the SEARCH DIRECTION — correctness is guarded by the f32
-    # exact line search and the monotone-cost acceptance test — so the
-    # rank-update einsum (the iteration's biggest HBM stream) runs
-    # with bf16 operands and f32 accumulation on the MXU. Disabled
-    # under x64 (parity/oracle runs).
+    # Gauss-Newton direction in reduced precision: the Hessian and the
+    # gradient's J-transpose pass only steer the SEARCH DIRECTION —
+    # correctness is guarded by the f32 exact line search on the f32
+    # jar and the monotone-cost acceptance test — so the iteration's
+    # biggest HBM streams run with bf16 operands and f32 accumulation
+    # on the MXU. jar itself is updated with the f32 J (jmul(p) stays
+    # full precision) so costs/forces never see bf16 rounding.
+    # Disabled under x64 (parity/oracle runs).
     use_bf16 = dtype == jnp.float32
+    # With no elliptic groups the cone transform leaves rows unchanged
+    # (Jh == J), so the bf16 copy of J hoists out of the loop entirely.
+    Jb = J.astype(jnp.bfloat16) if (use_bf16 and not groups) else None
 
     def hess_assemble(Jh, w):
+      if Jb is not None:
+        wJh = Jb * w[..., None, :].astype(jnp.bfloat16)
+        return M + jnp.einsum(
+            'bve,bwe->bvw', wJh, Jb,
+            preferred_element_type=jnp.float32)
       if use_bf16:
         wJh = (Jh * w[..., None, :]).astype(jnp.bfloat16)
         return M + jnp.einsum(
@@ -928,19 +957,35 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
             preferred_element_type=jnp.float32)
       return M + jnp.einsum('bve,be,bwe->bvw', Jh, w, Jh)
 
-    def newton_iter(x, jar):
+    def jtmul_dir(f):
+      """J^T f for the gradient (direction-only precision)."""
+      if Jb is not None:
+        return jnp.einsum('bve,be->bv', Jb, f.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+      return jtmul(f)
+
+    def newton_iter(x, jar, cost, done):
       """One safeguarded Newton step from (x, jar=J'x - aref).
 
-      Returns (x_new, jar_new) with jar updated incrementally
-      (jar_new = jar + alpha*jp) — saves two full J streams per
-      iteration vs recomputing jmul(x_new)."""
-      w, Jh = _hess_cone(jar, J, *cone_args)
-      grad = mmul(x - a0) - jtmul(row_force(jar))
+      jar is updated incrementally (jar_new = jar + alpha*jp) — saves
+      two full J streams per iteration vs recomputing jmul(x_new) —
+      and M(x-a0)/M p are computed once and reused across the
+      gradient, the line-search coefficients, and the cost update."""
+      if Jb is not None:
+        w_base = jnp.where(eq | (jar < 0), dweight, 0.0)
+        w_fr = jnp.where(jnp.abs(dweight * jar) < floss, dweight, 0.0)
+        w = jnp.where(fric, w_fr, w_base)
+        Jh = None
+      else:
+        w, Jh = _hess_cone(jar, J, *cone_args)
+      m_dx = mmul(x - a0)
+      grad = m_dx - jtmul_dir(row_force(jar))
       H = hess_assemble(Jh, w)
       p = -pallas_kernels.chol_solve_batched(H, grad)
       jp = jmul(p)
-      pMp = jnp.einsum('bi,bi->b', p, mmul(p))
-      pM_dx = jnp.einsum('bi,bi->b', p, mmul(x - a0))
+      m_p = mmul(p)
+      pMp = jnp.einsum('bi,bi->b', p, m_p)
+      pM_dx = jnp.einsum('bi,bi->b', p, m_dx)
 
       # safeguarded Newton on phi' (bracket + bisection fallback) — see
       # the per-env solver for why a raw Newton step can cycle
@@ -964,12 +1009,23 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
            jnp.full(Bn, 4.0, dtype=dtype)),
           None, length=ls_iters, unroll=ls_iters)
       alpha = jnp.clip(alpha, 0.0, 4.0)
-      return x + alpha[:, None] * p, jar + alpha[:, None] * jp
+      x_new = x + alpha[:, None] * p
+      jar_new = jar + alpha[:, None] * jp
+      # cost at the new point, reusing m_dx/m_p:
+      # M(x_new - a0) = M(x - a0) + alpha M p
+      m_dvn = m_dx + alpha[:, None] * m_p
+      cost_new = 0.5 * jnp.einsum(
+          'bi,bi->b', x_new - a0, m_dvn) + jnp.sum(
+              _cost_rows_cone(jar_new, *cone_args), axis=-1)
 
-    def cost_from(x, jar):
-      dv = x - a0
-      return 0.5 * jnp.einsum('bi,bi->b', dv, mmul(dv)) + jnp.sum(
-          _cost_rows_cone(jar, *cone_args), axis=-1)
+      improved = (cost_new < cost) & ~done
+      x = jnp.where(improved[:, None], x_new, x)
+      jar = jnp.where(improved[:, None], jar_new, jar)
+      thresh = jnp.maximum(tol * scale, 8 * eps * jnp.abs(cost))
+      done = done | ~((cost - cost_new) >= thresh) | ~jnp.isfinite(
+          cost_new)
+      cost = jnp.where(improved, cost_new, cost)
+      return x, jar, cost, done
 
     def loop(x, jar, cost, done, it0, max_iters, tail_thresh):
       """Monotone Newton iterations until only `tail_thresh` envs
@@ -981,15 +1037,7 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
 
       def body_fn(carry):
         x, jar, cost, it, done = carry
-        x_new, jar_new = newton_iter(x, jar)
-        cost_new = cost_from(x_new, jar_new)
-        improved = (cost_new < cost) & ~done
-        x = jnp.where(improved[:, None], x_new, x)
-        jar = jnp.where(improved[:, None], jar_new, jar)
-        thresh = jnp.maximum(tol * scale, 8 * eps * jnp.abs(cost))
-        done = done | ~((cost - cost_new) >= thresh) | ~jnp.isfinite(
-            cost_new)
-        cost = jnp.where(improved, cost_new, cost)
+        x, jar, cost, done = newton_iter(x, jar, cost, done)
         return (x, jar, cost, it + 1, done)
 
       return jax.lax.while_loop(cond_fn, body_fn,
@@ -997,11 +1045,15 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
 
     return jmul, cost_of, row_force, jtmul, loop
 
+  Jp, Mp, a0p = _pad_nv(J, M, a0)
   jmul, cost_of, row_force, jtmul, full_loop = make_solver(
-      J, M, a0, aref, dweight, eq, fric, floss, mu_rows)
+      Jp, Mp, a0p, aref, dweight, eq, fric, floss, mu_rows)
 
   ws = jnp.where(jnp.all(jnp.isfinite(D.qacc_warmstart), axis=-1,
                          keepdims=True), D.qacc_warmstart, a0)
+  if nvp != m.nv:
+    ws = jnp.zeros_like(a0p).at[:, :m.nv].set(ws)
+  a0 = a0p
   x = jnp.where((cost_of(ws) < cost_of(a0))[:, None], ws, a0)
 
   # Straggler cutoff + tail compaction: the batch steps in lockstep,
@@ -1033,7 +1085,7 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
       return jnp.take(a, sel, axis=0)
 
     _, _, _, _, tail_loop = make_solver(
-        take(J), take(M), take(a0), take(aref), take(dweight),
+        take(Jp), take(Mp), take(a0), take(aref), take(dweight),
         take(eq), take(fric), take(floss), take(mu_rows))
     xt, _, ct, niter, _ = tail_loop(take(x), take(jarx), take(cost),
                                     take(done), niter, cap, 0)
@@ -1046,7 +1098,16 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
 
   jar = jmul(x) - aref
   force = row_force(jar)
-  qfrc_constraint = jtmul(force)
+  qfrc_constraint = jtmul(force)[:, :m.nv]
+  x = x[:, :m.nv]
+  D = D.replace(
+      qacc=x, qfrc_constraint=qfrc_constraint, qacc_warmstart=x,
+      solver_niter=jnp.broadcast_to(niter, (B,)))
+  if not compute_forces:
+    # rollout fast path: efc_force / per-contact forces are only read
+    # by sensors and the engine API, which the slim scan never touches
+    return D
+
   if compact:
     # scatter the compacted forces back to the full row layout
     force = jnp.einsum('bke,bk->be', onehot, force)
@@ -1058,11 +1119,7 @@ def fwd_constraint_batched(m: Model, D: Data) -> Data:
     return d.contact.replace(force=confrc)
   contact = jax.vmap(_finish)(D, force)
 
-  return D.replace(
-      qacc=x, qfrc_constraint=qfrc_constraint, efc_force=efc_force,
-      qacc_warmstart=x,
-      solver_niter=jnp.broadcast_to(niter, (B,)),
-      contact=contact)
+  return D.replace(efc_force=efc_force, contact=contact)
 
 
 def _contact_forces(m: Model, d: Data, force: jax.Array, dtype):

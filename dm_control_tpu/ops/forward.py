@@ -185,10 +185,7 @@ def step_legacy(m: Model, d: Data) -> Data:
   without a second full pipeline per control step.
   """
   d = fwd_aa(m, d)
-  if m.opt.integrator == constants.IntegratorType.RK4:
-    d = _rk4(m, d)
-  else:
-    d = _euler(m, d)
+  d = _integrate(m, d)
   return fwd_pv(m, d)
 
 
@@ -312,6 +309,66 @@ def _euler(m: Model, d: Data) -> Data:
   return _advance(m, d, qacc_int, d.act_dot)
 
 
+def _qderiv_implicitfast(m: Model, d: Data) -> jax.Array:
+  """-∂qfrc/∂qvel for the implicitfast velocity integration.
+
+  Covers the analytically cheap velocity derivatives the reference
+  engine's implicitfast mode uses (mjd_smooth_vel minus the Coriolis
+  term, reference semantics documented at
+  dm_control/mujoco/engine.py model options; oracle mj_implicitSkip):
+    - joint damping:            +diag(dof_damping)
+    - tendon damping:           +J_ten^T diag(b_ten) J_ten
+    - actuator velocity gains:  -moment^T diag(∂force/∂vel) moment
+  Fluid drag (density/viscosity) derivatives are not included; models
+  relying on medium forces should use Euler or RK4.
+  Returns the (nv, nv) matrix D with the integration solving
+  (M + h D) qacc = qfrc_total.
+  """
+  dtype = d.qpos.dtype
+  D = jnp.diag(m.dof_damping.astype(dtype))
+  if m.ntendon:
+    b = m.tendon_damping.astype(dtype)
+    D = D + jnp.einsum('tv,t,tw->vw', d.ten_J, b, d.ten_J)
+  if m.nu:
+    # force = gain(l, v) * input + bias(l, v);
+    # ∂force/∂v = gainprm[2] * input + biasprm[2]
+    gaintype = np.array(m.actuator_gaintype)
+    biastype = np.array(m.actuator_biastype)
+    gp2 = np.asarray(m.actuator_gainprm)[:, 2]
+    bp2 = np.asarray(m.actuator_biasprm)[:, 2]
+    has_g = (gaintype == int(constants.GainType.AFFINE)) & (gp2 != 0)
+    has_b = (biastype == int(constants.BiasType.AFFINE)) & (bp2 != 0)
+    if np.any(has_g) or np.any(has_b):
+      # input: ctrl for stateless actuators, act slot otherwise
+      ctrl = d.ctrl
+      if not (m.opt.disableflags & constants.DisableBit.CLAMPCTRL):
+        limited = jnp.array(m.actuator_ctrllimited, dtype=bool)
+        clamped = jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
+                           m.actuator_ctrlrange[:, 1])
+        ctrl = jnp.where(limited, clamped, ctrl)
+      dyntypes = np.array(m.actuator_dyntype)
+      stateful = np.where(dyntypes != int(constants.DynType.NONE))[0]
+      if len(stateful):
+        adrs = np.array(m.actuator_actadr)[stateful]
+        ctrl = ctrl.at[stateful].set(d.act[adrs])
+      dfdv = (jnp.where(jnp.asarray(has_g), jnp.asarray(gp2, dtype), 0.0)
+              * ctrl +
+              jnp.where(jnp.asarray(has_b), jnp.asarray(bp2, dtype), 0.0))
+      D = D - jnp.einsum('uv,u,uw->vw', d.actuator_moment, dfdv,
+                         d.actuator_moment)
+  return D
+
+
+def _implicitfast(m: Model, d: Data) -> Data:
+  """implicitfast integration: implicit in the velocity derivatives of
+  passive and actuator forces (reference option integrator=implicitfast)."""
+  dt = m.opt.timestep.astype(d.qpos.dtype)
+  qfrc = d.qfrc_smooth + d.qfrc_constraint
+  A = d.qM + dt * _qderiv_implicitfast(m, d)
+  qacc_int = linalg.solve_psd(A, qfrc)
+  return _advance(m, d, qacc_int, d.act_dot)
+
+
 _RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
 _RK4_B = (1.0 / 6, 1.0 / 3, 1.0 / 3, 1.0 / 6)
 
@@ -343,12 +400,23 @@ def _rk4(m: Model, d: Data) -> Data:
   return d0.replace(qpos=qpos, qvel=qvel, act=act, time=d0.time + dt)
 
 
+def _integrate(m: Model, d: Data) -> Data:
+  integ = int(m.opt.integrator)
+  if integ == constants.IntegratorType.RK4:
+    return _rk4(m, d)
+  if integ == constants.IntegratorType.IMPLICITFAST:
+    return _implicitfast(m, d)
+  if integ == constants.IntegratorType.IMPLICIT:
+    raise NotImplementedError(
+        'integrator="implicit" is not implemented (needs ∂RNE/∂qvel); '
+        'use implicitfast, Euler or RK4')
+  return _euler(m, d)
+
+
 def step(m: Model, d: Data) -> Data:
   """One simulation step: forward dynamics + integration."""
   d = forward(m, d)
-  if m.opt.integrator == constants.IntegratorType.RK4:
-    return _rk4(m, d)
-  return _euler(m, d)
+  return _integrate(m, d)
 
 
 # ---------------------------------------------------------------------------
@@ -372,7 +440,8 @@ def fwd_aa_batched(m: Model, D: Data,
   """Batched actuation + acceleration + constraint + acc sensors."""
   D = _vm(fwd_actuation, m)(D)
   D = _vm(fwd_acceleration, m)(D)
-  D = constraint.fwd_constraint_batched(m, D)
+  D = constraint.fwd_constraint_batched(m, D,
+                                        compute_forces=compute_sensors)
   if compute_sensors:
     D = jax.vmap(lambda d: sensor_ops.sensors(m, d, stages='acc'))(D)
   return D
@@ -383,7 +452,9 @@ def forward_core_batched(m: Model, D: Data) -> Data:
   D = _vm(fwd_velocity, m)(D)
   D = _vm(fwd_actuation, m)(D)
   D = _vm(fwd_acceleration, m)(D)
-  return constraint.fwd_constraint_batched(m, D)
+  # RK4 stage solves only need qacc; forces are refreshed by the
+  # pre-integration forward_batched pass
+  return constraint.fwd_constraint_batched(m, D, compute_forces=False)
 
 
 def forward_batched(m: Model, D: Data,
@@ -398,6 +469,17 @@ def _euler_batched(m: Model, D: Data) -> Data:
   qfrc = D.qfrc_smooth + D.qfrc_constraint
   mhd = D.qM + dt * jnp.diag(m.dof_damping)[None]
   qacc_int = pallas_kernels.chol_solve_batched(mhd, qfrc)
+  return jax.vmap(lambda d, qa: _advance(m, d, qa, d.act_dot))(
+      D, qacc_int)
+
+
+def _implicitfast_batched(m: Model, D: Data) -> Data:
+  from dm_control_tpu.ops import pallas_kernels
+  dt = m.opt.timestep.astype(D.qpos.dtype)
+  qfrc = D.qfrc_smooth + D.qfrc_constraint
+  Dv = jax.vmap(lambda d: _qderiv_implicitfast(m, d))(D)
+  A = D.qM + dt * Dv
+  qacc_int = pallas_kernels.chol_solve_batched(A, qfrc)
   return jax.vmap(lambda d, qa: _advance(m, d, qa, d.act_dot))(
       D, qacc_int)
 
@@ -437,8 +519,15 @@ def step_batched(m: Model, D: Data,
   anyway (it is zeros in batched observations either way).
   """
   D = forward_batched(m, D, compute_sensors)
-  if m.opt.integrator == constants.IntegratorType.RK4:
+  integ = int(m.opt.integrator)
+  if integ == constants.IntegratorType.RK4:
     return _rk4_batched(m, D)
+  if integ == constants.IntegratorType.IMPLICITFAST:
+    return _implicitfast_batched(m, D)
+  if integ == constants.IntegratorType.IMPLICIT:
+    raise NotImplementedError(
+        'integrator="implicit" is not implemented (needs ∂RNE/∂qvel); '
+        'use implicitfast, Euler or RK4')
   return _euler_batched(m, D)
 
 

@@ -217,7 +217,10 @@ def spatial_inertia(mass: jax.Array, inertia_mat: jax.Array,
   cx = skew(offset)
   m = mass[..., None, None]
   eye = jnp.broadcast_to(jnp.eye(3, dtype=offset.dtype), cx.shape)
-  top_left = inertia_mat + m * (cx @ cx.swapaxes(-1, -2))
+  # cx cx^T spelled as a multiply-reduce, not `@`: tiny-matmul dots
+  # force (4,128)-tiled layouts + bf16 MXU round trips on TPU
+  cxcxt = jnp.sum(cx[..., :, None, :] * cx[..., None, :, :], axis=-1)
+  top_left = inertia_mat + m * cxcxt
   top_right = m * cx
   bot_left = m * cx.swapaxes(-1, -2)
   bot_right = m * eye

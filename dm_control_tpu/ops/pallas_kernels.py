@@ -55,22 +55,30 @@ def _chol_solve_kernel(n: int, h_ref, g_ref, x_ref, a_scr, y_scr):
   rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
   # ---- in-place right-looking Cholesky (unrolled over columns) ----
+  # The rank-1 update slices only the OUTER (row) dim — outer slices
+  # are free (untiled), while sublane-dim slices would force masked
+  # partial-tile stores. Columns <= j are masked to zero in the
+  # multiplicand instead (full-tile vector ops).
   for j in range(n):
     dj = jax.lax.rsqrt(jnp.maximum(a_scr[j, j, :], eps))    # (TB,)
     col = a_scr[:, j, :] * dj                               # (n, TB)
     col = jnp.where(rows >= j, col, 0.0)
     if j + 1 < n:
-      # rank-1 update of the trailing submatrix (masked dense)
       colm = jnp.where(rows > j, col, 0.0)
-      a_scr[:] = a_scr[:] - colm[:, None, :] * colm[None, :, :]
+      # quantize the row-slice start to a multiple of 8: rows in
+      # [j8, j] are zero in colm (no-op updates), and only n/8 distinct
+      # update shapes reach Mosaic (per-j shapes explode compile time)
+      j8 = ((j + 1) // 8) * 8
+      rest = colm[j8:]                                      # (n-j8, TB)
+      a_scr[j8:, :, :] = (
+          a_scr[j8:, :, :] - rest[:, None, :] * colm[None, :, :])
     a_scr[:, j, :] = col
 
   # ---- forward substitution: y = L^-1 g ----
   y_scr[:] = jnp.zeros_like(y_scr)
   for i in range(n):
     if i:
-      s = jnp.sum(jnp.where(rows < i, a_scr[i, :, :] * y_scr[:], 0.0),
-                  axis=0)
+      s = jnp.sum(a_scr[i, :, :] * y_scr[:], axis=0)
     else:
       s = jnp.zeros_like(g_ref[0, :])
     y_scr[i, :] = (g_ref[i, :] - s) / a_scr[i, i, :]
@@ -79,8 +87,7 @@ def _chol_solve_kernel(n: int, h_ref, g_ref, x_ref, a_scr, y_scr):
   x_ref[:] = jnp.zeros_like(x_ref)
   for i in range(n - 1, -1, -1):
     if i + 1 < n:
-      s = jnp.sum(jnp.where(rows > i, a_scr[:, i, :] * x_ref[:], 0.0),
-                  axis=0)
+      s = jnp.sum(a_scr[i + 1:, i, :] * x_ref[i + 1:, :], axis=0)
     else:
       s = jnp.zeros_like(y_scr[0, :])
     x_ref[i, :] = (y_scr[i, :] - s) / a_scr[i, i, :]
@@ -99,11 +106,16 @@ def _chol_solve_tpu(H: jax.Array, g: jax.Array) -> jax.Array:
   s = jnp.where(d > 1e-30, jax.lax.rsqrt(jnp.maximum(d, 1e-30)), 1.0)
   H = H.astype(jnp.float32) * s[:, :, None] * s[:, None, :]
   gs = g.astype(jnp.float32) * s
-  # pad: identity on the extra diagonal keeps the factorization valid
-  Hp = jnp.zeros((bpad, npad, npad), jnp.float32)
-  Hp = Hp.at[:, np.arange(n, npad), np.arange(n, npad)].set(1.0)
-  Hp = Hp.at[:B, :n, :n].set(H)
-  gp = jnp.zeros((bpad, npad), jnp.float32).at[:B, :n].set(gs)
+  if n == npad and B == bpad:
+    # pre-aligned fast path (the batched constraint solver pads its
+    # system once, outside the Newton loop): no pad scatters here
+    Hp, gp = H, gs
+  else:
+    # pad: identity on the extra diagonal keeps the factorization valid
+    Hp = jnp.zeros((bpad, npad, npad), jnp.float32)
+    Hp = Hp.at[:, np.arange(n, npad), np.arange(n, npad)].set(1.0)
+    Hp = Hp.at[:B, :n, :n].set(H)
+    gp = jnp.zeros((bpad, npad), jnp.float32).at[:B, :n].set(gs)
   Ht = jnp.transpose(Hp, (1, 2, 0))
   gt = gp.T
 

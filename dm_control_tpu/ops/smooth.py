@@ -180,8 +180,13 @@ def com_pos(m: Model, d: Data) -> Data:
   # spatial inertia of each body about subtree_com of its root
   rootid = jnp.array(m.body_rootid, dtype=jnp.int32)
   offset = d.xipos - subtree_com[rootid]
-  inert3 = (d.ximat * m.body_inertia[:, None, :]) @ d.ximat.swapaxes(
-      -1, -2)
+  # R diag(I) R^T written as a broadcast multiply-reduce: a 3x3 `@`
+  # here lowers to an MXU dot with (3,3) trailing dims, whose (4,128)
+  # tile padding makes every materialization ~57x its logical bytes on
+  # TPU (and drags bf16 round-trip copies with it)
+  scaled = d.ximat * m.body_inertia[:, None, :]
+  inert3 = jnp.sum(scaled[..., :, None, :] * d.ximat[..., None, :, :],
+                   axis=-1)
   cinert = mops.spatial_inertia(m.body_mass, inert3, offset)
 
   # com-frame dof axes, fully vectorized over nv: each dof's axis source
