@@ -13,9 +13,10 @@ The model XML + meshes are the vendored task-spec assets
 published asset set is missing `head_red.msh` (the reference snapshot
 cannot compile either); that visual-only geom is dropped at load.
 
-Known limitation: MuJoCo `adhesion` actuators (claw/labrum suction)
-are not yet compiled by the TPU engine — the fly walks on its 48 leg
-actuators; the adhesion action class reports zero width.
+Adhesion actuators (claw/labrum suction) compile to BODY-transmission
+moment rows: the mean contact-normal Jacobian over the body's active
+contacts, pulling into the contact (ops/smooth.py:_adhesion_moments;
+oracle parity in tests/test_adhesion.py).
 """
 
 from __future__ import annotations

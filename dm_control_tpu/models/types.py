@@ -351,7 +351,7 @@ class Contact(_Base):
   dist: jax.Array        # (ncon,)
   pos: jax.Array         # (ncon, 3)
   frame: jax.Array       # (ncon, 3, 3) rows = [normal, t1, t2]
-  includemargin: jax.Array  # (ncon,)
+  includemargin: jax.Array  # (ncon,) = margin - gap (constraint gate)
   friction: jax.Array    # (ncon, 5)
   solref: jax.Array      # (ncon, 2)
   solimp: jax.Array      # (ncon, 5)
@@ -360,6 +360,8 @@ class Contact(_Base):
   geom1: jax.Array = None  # (ncon,) int32 geom ids (data — see above)
   geom2: jax.Array = None  # (ncon,) int32
   overflow: jax.Array = None  # scalar bool
+  gap: jax.Array = None  # (ncon,); dist < includemargin + gap means the
+                         # contact EXISTS (adhesion acts in this band)
   # static slot metadata: condim per compacted slot
   dim: Tuple[int, ...] = _field(meta=True, default=())
 
@@ -454,7 +456,8 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
   contact = Contact(
       dist=z(ncon), pos=z(ncon, 3),
       frame=np.tile(np.eye(3, dtype=npdt), (ncon, 1, 1)),
-      includemargin=z(ncon), friction=np.ones((ncon, 5), dtype=npdt),
+      includemargin=z(ncon), gap=z(ncon),
+      friction=np.ones((ncon, 5), dtype=npdt),
       solref=np.tile(np.array([0.02, 1.0], dtype=npdt), (ncon, 1)),
       solimp=np.tile(
           np.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=npdt), (ncon, 1)),

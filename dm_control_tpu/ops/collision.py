@@ -546,6 +546,7 @@ def collision(m: Model, d: Data) -> Data:
   # env-independent per-slot parameter tables (vmap keeps unbatched
   # computation unbatched, so these assemble once, not per env)
   imargin = jnp.zeros(m.ncon_max, dtype=dtype)
+  igap = jnp.zeros(m.ncon_max, dtype=dtype)
   friction = jnp.ones((m.ncon_max, 5), dtype=dtype)
   solref = jnp.tile(jnp.array([0.02, 1.0], dtype=dtype), (m.ncon_max, 1))
   solimp = jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype),
@@ -603,7 +604,11 @@ def collision(m: Model, d: Data) -> Data:
       for ci in cand:
         cap_tangent[slot_of[ci]:slot_of[ci] + k] = True
     rep = lambda x: jnp.repeat(x, k, axis=0)
-    imargin = imargin.at[slots].set(rep(mrg - gap))
+    # oracle semantics (mujoco 3.10, verified empirically): the
+    # constraint includes and acts on contacts through the WHOLE margin
+    # band — `gap` does not subtract from includemargin
+    imargin = imargin.at[slots].set(rep(mrg))
+    igap = igap.at[slots].set(rep(gap))
     friction = friction.at[slots].set(rep(fric))
     solref = solref.at[slots].set(rep(sref))
     solimp = solimp.at[slots].set(rep(simp))
@@ -626,7 +631,8 @@ def collision(m: Model, d: Data) -> Data:
         imargin[:, None], friction, solref, solimp,
         slot_g1[:, None].astype(dtype), slot_g2[:, None].astype(dtype),
         jnp.asarray(cap_tangent, dtype=dtype)[:, None],
-    ], axis=1)                                     # (ncon_max, 16)
+        igap[:, None],
+    ], axis=1)                                     # (ncon_max, 17)
     # Per-group selection through LOCAL one-hots: top_k indices stay
     # group-relative (no integer gather of a slot table — XLA lowers
     # traced-index gathers to a serial loop fusion), and the slot data
@@ -665,6 +671,7 @@ def collision(m: Model, d: Data) -> Data:
     slot_g1 = pr[:, 13].astype(jnp.int32)
     slot_g2 = pr[:, 14].astype(jnp.int32)
     cap_flag = pr[:, 15] > 0.5
+    igap = pr[:, 16]
   else:
     cap_flag = jnp.asarray(cap_tangent)
 
@@ -688,7 +695,7 @@ def collision(m: Model, d: Data) -> Data:
     frame = jnp.stack([normal, t1v, t2v], axis=-2)
 
   con = con.replace(dist=dist, pos=pos, frame=frame,
-                    includemargin=imargin, friction=friction,
+                    includemargin=imargin, gap=igap, friction=friction,
                     solref=solref, solimp=solimp, active=active,
                     geom1=slot_g1, geom2=slot_g2, overflow=overflow)
   return d.replace(contact=con)

@@ -895,13 +895,13 @@ def fwd_constraint_batched(m: Model, D: Data,
   def _pad_nv(J, M, a0):
     if nvp == m.nv:
       return J, M, a0
-    Bn = J.shape[0]
-    Jp = jnp.zeros((Bn, nvp, J.shape[-1]), dtype)
-    Jp = Jp.at[:, :m.nv, :].set(J)
-    Mp = jnp.zeros((Bn, nvp, nvp), dtype)
-    Mp = Mp.at[:, np.arange(m.nv, nvp), np.arange(m.nv, nvp)].set(1.0)
-    Mp = Mp.at[:, :m.nv, :m.nv].set(M)
-    a0p = jnp.zeros((Bn, nvp), dtype).at[:, :m.nv].set(a0)
+    k = nvp - m.nv
+    Jp = jnp.pad(J, ((0, 0), (0, k), (0, 0)))
+    eye_tail = np.zeros((nvp, nvp), dtype=np.float64)
+    eye_tail[np.arange(m.nv, nvp), np.arange(m.nv, nvp)] = 1.0
+    Mp = jnp.pad(M, ((0, 0), (0, k), (0, k))) + jnp.asarray(
+        eye_tail, dtype)
+    a0p = jnp.pad(a0, ((0, 0), (0, k)))
     return Jp, Mp, a0p
 
   def make_solver(J, M, a0, aref, dweight, eq, fric, floss, mu_rows):
@@ -1043,10 +1043,26 @@ def fwd_constraint_batched(m: Model, D: Data,
       return jax.lax.while_loop(cond_fn, body_fn,
                                 (x, jar, cost, it0, done))
 
-    return jmul, cost_of, row_force, jtmul, loop
+    def fixed_loop(x, jar, cost, done, n_iters):
+      """Exactly n_iters masked Newton passes (no convergence sync).
+
+      Used for the full-batch phase where the unconverged count stays
+      above the cutoff anyway: dropping the while-cond removes a
+      cross-batch reduction + scalar sync per iteration and lets XLA
+      pipeline the iterations back to back."""
+      def body(carry, _):
+        x, jar, cost, done = carry
+        x, jar, cost, done = newton_iter(x, jar, cost, done)
+        return (x, jar, cost, done), ()
+      (x, jar, cost, done), _ = jax.lax.scan(
+          body, (x, jar, cost, done), None, length=n_iters)
+      return x, jar, cost, done
+
+    return jmul, cost_of, row_force, jtmul, loop, fixed_loop
 
   Jp, Mp, a0p = _pad_nv(J, M, a0)
-  jmul, cost_of, row_force, jtmul, full_loop = make_solver(
+  (jmul, cost_of, row_force, jtmul, full_loop,
+   fixed_loop) = make_solver(
       Jp, Mp, a0p, aref, dweight, eq, fric, floss, mu_rows)
 
   ws = jnp.where(jnp.all(jnp.isfinite(D.qacc_warmstart), axis=-1,
@@ -1054,7 +1070,22 @@ def fwd_constraint_batched(m: Model, D: Data,
   if nvp != m.nv:
     ws = jnp.zeros_like(a0p).at[:, :m.nv].set(ws)
   a0 = a0p
-  x = jnp.where((cost_of(ws) < cost_of(a0))[:, None], ws, a0)
+  # Evaluate both start candidates (warmstart vs qacc_smooth) with ONE
+  # stacked J pass; keep the winner's jar/cost so the loop needs no
+  # fresh jmul/cost evaluation.
+  cone_args0 = (dweight, eq, fric, floss, mu_rows, groups)
+  jar2 = jnp.einsum('bsv,bve->bse', jnp.stack([ws, a0], axis=1),
+                    Jp) - aref[:, None, :]
+  jar_ws, jar_a0 = jar2[:, 0], jar2[:, 1]
+  dv_ws = ws - a0
+  cost_ws = 0.5 * jnp.einsum(
+      'bi,bi->b', dv_ws, jnp.einsum('bij,bj->bi', Mp, dv_ws)) + jnp.sum(
+          _cost_rows_cone(jar_ws, *cone_args0), axis=-1)
+  cost_a0 = jnp.sum(_cost_rows_cone(jar_a0, *cone_args0), axis=-1)
+  use_ws = cost_ws < cost_a0
+  x = jnp.where(use_ws[:, None], ws, a0)
+  jar0 = jnp.where(use_ws[:, None], jar_ws, jar_a0)
+  cost0 = jnp.where(use_ws, cost_ws, cost_a0)
 
   # Straggler cutoff + tail compaction: the batch steps in lockstep,
   # so the slowest env sets the iteration count for all. Measured on
@@ -1071,20 +1102,20 @@ def fwd_constraint_batched(m: Model, D: Data,
   cap = m.opt.solver_iterations
   done0 = jnp.zeros(B, dtype=bool)
   it0 = jnp.zeros((), jnp.int32)
-  jar0 = jmul(x) - aref
   if B >= 1024:
     _FULL_PASSES = 3
     tail = B // 16
+    n_full = min(_FULL_PASSES, int(cap))
     x, jarx, cost, niter, done = full_loop(
-        x, jar0, cost_of(x), done0, it0,
-        jnp.minimum(_FULL_PASSES, cap), B // 256)
+        x, jar0, cost0, done0, it0, jnp.asarray(n_full, jnp.int32),
+        B // 256)
     # gather the unconverged tail and iterate only it
     sel = jax.lax.top_k((~done).astype(jnp.float32), tail)[1]  # (tail,)
 
     def take(a):
       return jnp.take(a, sel, axis=0)
 
-    _, _, _, _, tail_loop = make_solver(
+    _, _, _, _, tail_loop, _ = make_solver(
         take(Jp), take(Mp), take(a0), take(aref), take(dweight),
         take(eq), take(fric), take(floss), take(mu_rows))
     xt, _, ct, niter, _ = tail_loop(take(x), take(jarx), take(cost),
@@ -1093,7 +1124,7 @@ def fwd_constraint_batched(m: Model, D: Data,
     better = ct < take(cost)
     x = x.at[sel].set(jnp.where(better[:, None], xt, take(x)))
   else:
-    x, _, _, niter, _ = full_loop(x, jar0, cost_of(x), done0, it0,
+    x, _, _, niter, _ = full_loop(x, jar0, cost0, done0, it0,
                                   cap, B // 256)
 
   jar = jmul(x) - aref

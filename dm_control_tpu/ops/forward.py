@@ -30,12 +30,15 @@ _J = constants.JointType
 # ---------------------------------------------------------------------------
 
 
-def fwd_position(m: Model, d: Data) -> Data:
+def fwd_position(m: Model, d: Data, factor: bool = True) -> Data:
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
-  d = smooth.factor_m(m, d)
+  if factor:
+    # the explicit inverse factor qLD feeds the per-env solve_m; the
+    # batched path solves through the Pallas kernel instead and skips it
+    d = smooth.factor_m(m, d)
   if not (m.opt.disableflags & (constants.DisableBit.CONTACT |
                                 constants.DisableBit.CONSTRAINT)):
     d = coll.collision(m, d)
@@ -116,7 +119,7 @@ def fwd_actuation(m: Model, d: Data) -> Data:
                    act_dot=act_dot)
 
 
-def fwd_acceleration(m: Model, d: Data) -> Data:
+def _qfrc_smooth_total(m: Model, d: Data) -> jax.Array:
   dtype = d.qpos.dtype
   qfrc_applied_total = d.qfrc_applied
   # map world-frame body wrenches [force(3), torque(3)] at xipos to dofs
@@ -131,10 +134,24 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
     qfrc_applied_total = qfrc_applied_total + jnp.einsum(
         'vi,vi->v', d.cdof, ftot[dofbody])
 
-  qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator +
-                 qfrc_applied_total)
+  return (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator +
+          qfrc_applied_total)
+
+
+def fwd_acceleration(m: Model, d: Data) -> Data:
+  qfrc_smooth = _qfrc_smooth_total(m, d)
   qacc_smooth = smooth.solve_m(m, d, qfrc_smooth)
   return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+def fwd_acceleration_batched(m: Model, D: Data) -> Data:
+  """Batched smooth-acceleration: ONE Pallas SPD solve over the batch
+  instead of the per-env unrolled factor-and-invert (which the batched
+  pipeline otherwise vmaps into hundreds of small fusions)."""
+  from dm_control_tpu.ops import pallas_kernels
+  qfrc = jax.vmap(lambda d: _qfrc_smooth_total(m, d))(D)
+  qacc = pallas_kernels.chol_solve_batched(D.qM, qfrc)
+  return D.replace(qfrc_smooth=qfrc, qacc_smooth=qacc)
 
 
 def forward_core(m: Model, d: Data) -> Data:
@@ -146,9 +163,10 @@ def forward_core(m: Model, d: Data) -> Data:
   return d
 
 
-def fwd_pv(m: Model, d: Data, compute_sensors: bool = True) -> Data:
+def fwd_pv(m: Model, d: Data, compute_sensors: bool = True,
+           factor: bool = True) -> Data:
   """Position + velocity stages with their sensors (mj_step1 analog)."""
-  d = fwd_position(m, d)
+  d = fwd_position(m, d, factor=factor)
   d = fwd_velocity(m, d)
   if compute_sensors:
     d = sensor_ops.sensors(m, d, stages='pv')
@@ -439,7 +457,7 @@ def fwd_aa_batched(m: Model, D: Data,
                    compute_sensors: bool = True) -> Data:
   """Batched actuation + acceleration + constraint + acc sensors."""
   D = _vm(fwd_actuation, m)(D)
-  D = _vm(fwd_acceleration, m)(D)
+  D = fwd_acceleration_batched(m, D)
   D = constraint.fwd_constraint_batched(m, D,
                                         compute_forces=compute_sensors)
   if compute_sensors:
@@ -448,10 +466,10 @@ def fwd_aa_batched(m: Model, D: Data,
 
 
 def forward_core_batched(m: Model, D: Data) -> Data:
-  D = _vm(fwd_position, m)(D)
+  D = jax.vmap(lambda d: fwd_position(m, d, factor=False))(D)
   D = _vm(fwd_velocity, m)(D)
   D = _vm(fwd_actuation, m)(D)
-  D = _vm(fwd_acceleration, m)(D)
+  D = fwd_acceleration_batched(m, D)
   # RK4 stage solves only need qacc; forces are refreshed by the
   # pre-integration forward_batched pass
   return constraint.fwd_constraint_batched(m, D, compute_forces=False)
@@ -459,7 +477,7 @@ def forward_core_batched(m: Model, D: Data) -> Data:
 
 def forward_batched(m: Model, D: Data,
                     compute_sensors: bool = True) -> Data:
-  D = jax.vmap(lambda d: fwd_pv(m, d, compute_sensors))(D)
+  D = jax.vmap(lambda d: fwd_pv(m, d, compute_sensors, factor=False))(D)
   return fwd_aa_batched(m, D, compute_sensors)
 
 

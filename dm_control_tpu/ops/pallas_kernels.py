@@ -111,11 +111,15 @@ def _chol_solve_tpu(H: jax.Array, g: jax.Array) -> jax.Array:
     # system once, outside the Newton loop): no pad scatters here
     Hp, gp = H, gs
   else:
-    # pad: identity on the extra diagonal keeps the factorization valid
-    Hp = jnp.zeros((bpad, npad, npad), jnp.float32)
-    Hp = Hp.at[:, np.arange(n, npad), np.arange(n, npad)].set(1.0)
-    Hp = Hp.at[:B, :n, :n].set(H)
-    gp = jnp.zeros((bpad, npad), jnp.float32).at[:B, :n].set(gs)
+    # pad: identity on the extra diagonal keeps the factorization
+    # valid; jnp.pad + a constant eye-add stay fusible with the
+    # transpose below (a dynamic-update-slice would materialize)
+    Hp = jnp.pad(H, ((0, bpad - B), (0, npad - n), (0, npad - n)))
+    if npad != n:
+      eye_tail = np.zeros((npad, npad), np.float32)
+      eye_tail[np.arange(n, npad), np.arange(n, npad)] = 1.0
+      Hp = Hp + eye_tail
+    gp = jnp.pad(gs, ((0, bpad - B), (0, npad - n)))
   Ht = jnp.transpose(Hp, (1, 2, 0))
   gt = gp.T
 

@@ -428,6 +428,7 @@ def _trn_schedule(nu, nv, actuator_trntype, actuator_trnid, jnt_type,
   scal_u, scal_q, scal_v = [], [], []
   wide_u, wide_v, wide_n = [], [], []
   ten_u, ten_t = [], []
+  body_u, body_b = [], []
   for u in range(nu):
     trn = actuator_trntype[u]
     tid = actuator_trnid[u][0]
@@ -445,15 +446,16 @@ def _trn_schedule(nu, nv, actuator_trntype, actuator_trnid, jnt_type,
       ten_u.append(u)
       ten_t.append(tid)
     elif trn == constants.TrnType.BODY:
-      # adhesion actuators: the ctrl slot exists (oracle-aligned
-      # action layout) but the suction force model is not implemented
-      # yet — zero moment rows
-      continue
+      # adhesion actuators: moment rows come from contact normals
+      # (computed dynamically in transmission(), see _adhesion_moments)
+      body_u.append(u)
+      body_b.append(tid)
     else:
       raise NotImplementedError(f'transmission type {trn}')
   arr = lambda x: np.asarray(x, dtype=np.int32)
   return (arr(scal_u), arr(scal_q), arr(scal_v),
-          arr(wide_u), arr(wide_v), tuple(wide_n), arr(ten_u), arr(ten_t))
+          arr(wide_u), arr(wide_v), tuple(wide_n), arr(ten_u),
+          arr(ten_t), arr(body_u), arr(body_b))
 
 
 def transmission(m: Model, d: Data) -> Data:
@@ -462,8 +464,9 @@ def transmission(m: Model, d: Data) -> Data:
     return d
   dtype = d.qpos.dtype
   (scal_u, scal_q, scal_v, wide_u, wide_v, wide_n, ten_u,
-   ten_t) = _trn_schedule(m.nu, m.nv, m.actuator_trntype, m.actuator_trnid,
-                          m.jnt_type, m.jnt_qposadr, m.jnt_dofadr)
+   ten_t, body_u, body_b) = _trn_schedule(
+      m.nu, m.nv, m.actuator_trntype, m.actuator_trnid,
+      m.jnt_type, m.jnt_qposadr, m.jnt_dofadr)
   lengths = jnp.zeros(m.nu, dtype=dtype)
   moments = jnp.zeros((m.nu, m.nv), dtype=dtype)
   if len(scal_u):
@@ -478,7 +481,61 @@ def transmission(m: Model, d: Data) -> Data:
     gear0 = m.actuator_gear[ten_u, 0]
     lengths = lengths.at[ten_u].set(d.ten_length[ten_t] * gear0)
     moments = moments.at[ten_u].set(d.ten_J[ten_t] * gear0[:, None])
+  if len(body_u):
+    moments = moments.at[body_u].set(
+        _adhesion_moments(m, d, body_b, dtype))
   return d.replace(actuator_length=lengths, actuator_moment=moments)
+
+
+def _adhesion_moments(m: Model, d: Data, body_b, dtype) -> jax.Array:
+  """Moment rows for BODY-transmission (adhesion) actuators.
+
+  Reference semantics (oracle mj_transmission, mjTRN_BODY): the moment
+  is the mean of the contact-normal Jacobians over all current
+  contacts that involve a geom of the target body, oriented so that a
+  POSITIVE actuator force pulls the contacting bodies together
+  (adhesion). Bodies with no active contacts get a zero row (the
+  actuator has nothing to grip). Length is zero.
+  """
+  con = d.contact
+  ns = con.dist.shape[0]
+  if ns == 0:
+    return jnp.zeros((len(body_b), m.nv), dtype=dtype)
+  gbody = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+  b1 = gbody[con.geom1]                                 # (s,)
+  b2 = gbody[con.geom2]
+  # contact-normal translational Jacobian difference rows (nv, s),
+  # same construction as the constraint assembly's normal rows
+  bids = jnp.arange(m.nbody, dtype=jnp.int32)
+  oh1 = (b1[:, None] == bids).astype(dtype)             # (s, nb)
+  oh2 = (b2[:, None] == bids).astype(dtype)
+  root_com = d.subtree_com[np.array(m.body_rootid)]     # (nb, 3)
+  off1 = con.pos - oh1 @ root_com                       # (s, 3)
+  off2 = con.pos - oh2 @ root_com
+  bdm = jnp.asarray(m.body_dof_mask, dtype=dtype)       # (nb, nv)
+  mask1_t = bdm.T @ oh1.T                               # (nv, s)
+  mask2_t = bdm.T @ oh2.T
+  dm_t = mask2_t - mask1_t
+  ang, lin = d.cdof[:, :3], d.cdof[:, 3:]
+  normal = con.frame[:, 0]                              # (s, 3)
+  jn0 = jnp.zeros((m.nv, ns), dtype=dtype)
+  for j in range(3):
+    a, b = (j + 1) % 3, (j + 2) % 3
+    qq_b = mask2_t * off2[None, :, b] - mask1_t * off1[None, :, b]
+    qq_a = mask2_t * off2[None, :, a] - mask1_t * off1[None, :, a]
+    jd_j = (dm_t * lin[:, j:j + 1] +
+            ang[:, a:a + 1] * qq_b - ang[:, b:b + 1] * qq_a)
+    jn0 = jn0 + normal[None, :, j] * jd_j
+  # adhesion acts on all EXISTING contacts (dist < margin == the
+  # includemargin band, oracle mujoco 3.10 semantics)
+  exists = con.active.astype(dtype)
+  bsel = jnp.asarray(np.asarray(body_b), dtype=jnp.int32)
+  w = ((b1[None, :] == bsel[:, None]) |
+       (b2[None, :] == bsel[:, None])).astype(dtype) * exists[None, :]
+  cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)           # (n_adh,)
+  # jn0 is the separating direction (positive force pushes apart);
+  # adhesion applies the opposite
+  return -jnp.einsum('us,vs->uv', w, jn0) / cnt[:, None]
 
 
 # ---------------------------------------------------------------------------

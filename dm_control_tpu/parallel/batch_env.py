@@ -114,7 +114,10 @@ class BatchedEnvironment:
       state, _ = jax.lax.scan(body, state, None, length=n_sub)
       # position/velocity refresh for observations (legacy-step contract)
       D = _inflate_b(model, state)
-      D = jax.vmap(lambda d: forward_ops.fwd_pv(model, d))(D)
+      # factor=False: observations never solve against M, so the qLD
+      # inverse factor would be dead per-env work here
+      D = jax.vmap(
+          lambda d: forward_ops.fwd_pv(model, d, factor=False))(D)
       D = jax.vmap(lambda d: task_.after_step(model, d))(D)
       obs = jax.vmap(lambda d: task_.get_observation(model, d))(D)
       reward = jax.vmap(lambda d: task_.get_reward(model, d))(D)
