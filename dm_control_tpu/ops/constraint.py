@@ -825,9 +825,21 @@ def fwd_constraint_batched(m: Model, D: Data,
   if nefc == 0:
     return jax.vmap(lambda d: fwd_constraint(m, d))(D)
 
+  # Pad the dof axis at the source: every downstream J consumer works
+  # on the 8-aligned system (the Pallas direction solve needs it, and
+  # padding HERE lets XLA fuse the pad into the J-materializing fusion
+  # instead of writing the Jacobian twice).
+  nvp_early = max(8, -(-m.nv // 8) * 8)
+  if nvp_early != m.nv:
+    J = jnp.pad(rows.J, ((0, 0), (0, nvp_early - m.nv), (0, 0)))
+    qvel_p = jnp.pad(D.qvel, ((0, 0), (0, nvp_early - m.nv)))
+  else:
+    J = rows.J
+    qvel_p = D.qvel
+
   pmm = rows.pos - rows.margin
   imp = _impedance(rows.solimp, pmm)
-  vel = jnp.einsum('bv,bve->be', D.qvel, rows.J)
+  vel = jnp.einsum('bv,bve->be', qvel_p, J)
   spring = jnp.asarray(_elliptic_spring_scale(m, nefc), dtype)
   aref = _kbip(m, rows.solref, rows.solimp, imp, pmm * spring, vel)
   r = jnp.maximum((1.0 - imp) / imp * rows.invweight, 1e-12)
@@ -835,7 +847,6 @@ def fwd_constraint_batched(m: Model, D: Data,
 
   M = D.qM                     # (B, nv, nv)
   a0 = D.qacc_smooth           # (B, nv)
-  J = rows.J                   # (B, nv, nefc)
   eq = rows.eq_mask == 1.0
   fric = rows.eq_mask == 2.0
   floss = rows.frictionloss
@@ -856,10 +867,9 @@ def fwd_constraint_batched(m: Model, D: Data,
   nefc_full, J_full = nefc, J
   _ROW_BUDGET = 64
   # Row compaction pays a one-hot gather of J per solve (~0.3 ms at
-  # humanoid sizes) — only worth it when the padded row count is far
-  # above the live-row envelope. The collision-stage top-K budget
-  # already keeps nefc modest for typical models, so this second-level
-  # compaction kicks in only for very wide models. Elliptic contact
+  # humanoid sizes) — measured on humanoid.run (nefc 101 -> K 64) the
+  # gather costs MORE than the narrower iterations save, so the gate
+  # stays at ~2.5x the budget where the trade flips. Elliptic contact
   # blocks must stay intact, so it is pyramidal-only.
   compact = nefc > 160 and not groups
   if compact:
@@ -892,17 +902,16 @@ def fwd_constraint_batched(m: Model, D: Data,
   # pad/unpad dynamic-update-slices inside the solve.
   nvp = max(8, -(-m.nv // 8) * 8)
 
-  def _pad_nv(J, M, a0):
+  def _pad_nv(M, a0):
     if nvp == m.nv:
-      return J, M, a0
+      return M, a0
     k = nvp - m.nv
-    Jp = jnp.pad(J, ((0, 0), (0, k), (0, 0)))
     eye_tail = np.zeros((nvp, nvp), dtype=np.float64)
     eye_tail[np.arange(m.nv, nvp), np.arange(m.nv, nvp)] = 1.0
     Mp = jnp.pad(M, ((0, 0), (0, k), (0, k))) + jnp.asarray(
         eye_tail, dtype)
     a0p = jnp.pad(a0, ((0, 0), (0, k)))
-    return Jp, Mp, a0p
+    return Mp, a0p
 
   def make_solver(J, M, a0, aref, dweight, eq, fric, floss, mu_rows):
     """Closure bundle (jmul/cost/newton/loop) over one batch slice —
@@ -1060,7 +1069,8 @@ def fwd_constraint_batched(m: Model, D: Data,
 
     return jmul, cost_of, row_force, jtmul, loop, fixed_loop
 
-  Jp, Mp, a0p = _pad_nv(J, M, a0)
+  Jp = J   # already dof-padded at the source (above)
+  Mp, a0p = _pad_nv(M, a0)
   (jmul, cost_of, row_force, jtmul, full_loop,
    fixed_loop) = make_solver(
       Jp, Mp, a0p, aref, dweight, eq, fric, floss, mu_rows)
@@ -1118,16 +1128,18 @@ def fwd_constraint_batched(m: Model, D: Data,
     _, _, _, _, tail_loop, _ = make_solver(
         take(Jp), take(Mp), take(a0), take(aref), take(dweight),
         take(eq), take(fric), take(floss), take(mu_rows))
-    xt, _, ct, niter, _ = tail_loop(take(x), take(jarx), take(cost),
-                                    take(done), niter, cap, 0)
+    xt, jart, ct, niter, _ = tail_loop(take(x), take(jarx), take(cost),
+                                       take(done), niter, cap, 0)
     # scatter refined tail solutions back (only where cost improved)
     better = ct < take(cost)
     x = x.at[sel].set(jnp.where(better[:, None], xt, take(x)))
+    jar = jarx.at[sel].set(jnp.where(better[:, None], jart, take(jarx)))
   else:
-    x, _, _, niter, _ = full_loop(x, jar0, cost0, done0, it0,
-                                  cap, B // 256)
+    x, jar, _, niter, _ = full_loop(x, jar0, cost0, done0, it0,
+                                    cap, B // 256)
 
-  jar = jmul(x) - aref
+  # jar was tracked incrementally through every accepted step (exactly
+  # alongside x), so no final J pass is needed to recover the forces
   force = row_force(jar)
   qfrc_constraint = jtmul(force)[:, :m.nv]
   x = x[:, :m.nv]
