@@ -50,6 +50,48 @@ def _principal_inertia(mass: float, fullinertia: np.ndarray,
   return np.maximum(w, 0.0), q
 
 
+def _visual_assets(c) -> dict:
+  """Material/texture tables as hashable meta fields (renderer-only).
+
+  Name references resolve here: geom.material -> matid,
+  material.texture -> texid; dangling references resolve to -1
+  (rendered with geom rgba), matching the visual-asset tolerance of
+  the compile path (reference appearance resolution: mjv material
+  pipeline consumed at dm_control/mujoco/engine.py render()).
+  """
+  mat_index = {m['name']: i for i, m in enumerate(c.materials)}
+  tex_index = {t['name']: i for i, t in enumerate(c.textures)}
+  t4 = lambda arrs: tuple(tuple(float(x) for x in a) for a in arrs)
+  return dict(
+      geom_matid=tuple(mat_index.get(g.material, -1) for g in c.geoms),
+      mat_texid=tuple(tex_index.get(m['texture'], -1)
+                      for m in c.materials),
+      mat_texrepeat=t4([m['texrepeat'] for m in c.materials]),
+      mat_texuniform=tuple(int(m['texuniform']) for m in c.materials),
+      mat_rgba=t4([m['rgba'] for m in c.materials]),
+      mat_specular=tuple(float(m['specular']) for m in c.materials),
+      mat_shininess=tuple(float(m['shininess']) for m in c.materials),
+      mat_emission=tuple(float(m['emission']) for m in c.materials),
+      mat_reflectance=tuple(
+          float(m['reflectance']) for m in c.materials),
+      tex_type=tuple(int(t['type']) for t in c.textures),
+      tex_builtin=tuple(int(t['builtin']) for t in c.textures),
+      tex_rgb1=t4([t['rgb1'] for t in c.textures]),
+      tex_rgb2=t4([t['rgb2'] for t in c.textures]),
+      tex_mark=tuple(int(t['mark']) for t in c.textures),
+      tex_markrgb=t4([t['markrgb'] for t in c.textures]),
+      tex_width=tuple(int(t['width']) for t in c.textures),
+      tex_height=tuple(int(t['height']) for t in c.textures),
+      vis_headlight=(
+          tuple(float(x) for x in c.headlight['ambient']) +
+          tuple(float(x) for x in c.headlight['diffuse']) +
+          tuple(float(x) for x in c.headlight['specular']) +
+          (float(c.headlight['active']),)
+      ) if getattr(c, 'headlight', None) else
+      (0.1, 0.1, 0.1, 0.4, 0.4, 0.4, 0.5, 0.5, 0.5, 1.0),
+  )
+
+
 def build(c: compiler_lib.Compiler, dtype=jnp.float32,
           contact_budget=None) -> types.Model:
   nbody = len(c.bodies)
@@ -686,6 +728,7 @@ def build(c: compiler_lib.Compiler, dtype=jnp.float32,
       geom_gap=f(np.array([g.gap for g in c.geoms])),
       geom_rgba=f(np.stack([g.rgba for g in c.geoms]) if ngeom else
                   np.zeros((0, 4))),
+      **_visual_assets(c),
       site_pos=f(np.stack([s['pos'] for s in c.sites]) if nsite else
                  np.zeros((0, 3))),
       site_quat=f(np.stack([s['quat'] for s in c.sites]) if nsite else

@@ -334,6 +334,7 @@ class _Geom:
   rgba: np.ndarray
   dataname: str = ''    # referenced hfield/mesh asset name
   mesh: Optional[object] = None   # MeshAsset for MESH geoms
+  material: str = ''    # material asset name (visual)
 
 
 # ---------------------------------------------------------------------------
@@ -444,6 +445,9 @@ class Compiler:
     self.hfields: List[dict] = []
     self.meshes: Dict[str, object] = {}   # name -> MeshAsset
     self.meshdir = ''
+    self.textures: List[dict] = []        # visual assets (renderer)
+    self.materials: List[dict] = []
+    self.headlight: Optional[dict] = None
 
   # ---------------- includes ----------------
 
@@ -521,6 +525,15 @@ class Compiler:
         self.defaults.parse(elem)
       elif elem.tag == 'asset':
         self._parse_asset(elem)
+      elif elem.tag == 'visual':
+        for child in elem:
+          if child.tag == 'headlight':
+            self.headlight = dict(
+                ambient=_floats(child.get('ambient', '0.1 0.1 0.1'), 3),
+                diffuse=_floats(child.get('diffuse', '0.4 0.4 0.4'), 3),
+                specular=_floats(child.get('specular', '0.5 0.5 0.5'),
+                                 3),
+                active=int(child.get('active', '1')))
     # multiple <option> elements merge in document order (C compiler
     # semantics; e.g. reference suite/lqr.xml splits timestep and flags)
     self.option = None
@@ -574,6 +587,35 @@ class Compiler:
             nrow=nrow, ncol=ncol, size=size, data=data))
       elif child.tag == 'mesh':
         self._parse_mesh(child)
+      elif child.tag == 'texture':
+        ttype = {'2d': 0, 'cube': 1, 'skybox': 2}.get(
+            child.get('type', 'cube'), 1)
+        self.textures.append(dict(
+            name=child.get('name', child.get('type', '')),
+            type=ttype,
+            builtin={'none': 0, 'flat': 1, 'checker': 2,
+                     'gradient': 3}.get(child.get('builtin', 'none'), 0),
+            rgb1=_floats(child.get('rgb1', '0.8 0.8 0.8'), 3),
+            rgb2=_floats(child.get('rgb2', '0.5 0.5 0.5'), 3),
+            mark={'none': 0, 'edge': 1, 'cross': 2,
+                  'random': 3}.get(child.get('mark', 'none'), 0),
+            markrgb=_floats(child.get('markrgb', '0 0 0'), 3),
+            width=int(child.get('width', '1')),
+            height=int(child.get('height', '1')),
+            file=child.get('file', '')))
+      elif child.tag == 'material':
+        d = self.defaults.resolve('material', child.get('class', 'main'))
+        a = {**d, **child.attrib}
+        self.materials.append(dict(
+            name=a.get('name', f'mat{len(self.materials)}'),
+            texture=a.get('texture', ''),
+            texrepeat=_floats(a.get('texrepeat', '1 1'), 2),
+            texuniform=1 if a.get('texuniform', 'false') == 'true' else 0,
+            rgba=_floats(a.get('rgba', '1 1 1 1'), 4),
+            specular=float(a.get('specular', '0.5')),
+            shininess=float(a.get('shininess', '0.5')),
+            emission=float(a.get('emission', '0')),
+            reflectance=float(a.get('reflectance', '0'))))
 
   def _parse_mesh(self, child):
     from dm_control_tpu.models import mesh as mesh_lib
@@ -844,7 +886,8 @@ class Compiler:
         mass=mass, density=float(a.get('density', '1000')),
         rgba=_floats(a.get('rgba', '0.5 0.5 0.5 1'), 4),
         dataname=a.get('hfield', a.get('mesh', '')),
-        mesh=mesh))
+        mesh=mesh,
+        material=a.get('material', '')))
 
   def _parse_site(self, elem, bodyid: int, childclass: str):
     d = self.defaults.resolve('site', elem.get('class', childclass))

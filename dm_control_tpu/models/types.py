@@ -256,6 +256,31 @@ class Model(_Base):
   geom_gap: jax.Array = None
   geom_rgba: jax.Array = None
 
+  # ---- visual assets (meta: consumed at trace time by the renderer;
+  # reference appearance pipeline at dm_control/mujoco/engine.py render
+  # + mjv material resolution) ----
+  geom_matid: Tuple[int, ...] = _field(meta=True, default=())
+  mat_texid: Tuple[int, ...] = _field(meta=True, default=())
+  mat_texrepeat: Tuple = _field(meta=True, default=())   # ((u, v), ...)
+  mat_texuniform: Tuple[int, ...] = _field(meta=True, default=())
+  mat_rgba: Tuple = _field(meta=True, default=())        # ((r,g,b,a),..)
+  mat_specular: Tuple = _field(meta=True, default=())
+  mat_shininess: Tuple = _field(meta=True, default=())
+  mat_emission: Tuple = _field(meta=True, default=())
+  mat_reflectance: Tuple = _field(meta=True, default=())
+  tex_type: Tuple[int, ...] = _field(meta=True, default=())   # TexType
+  tex_builtin: Tuple[int, ...] = _field(meta=True, default=())
+  tex_rgb1: Tuple = _field(meta=True, default=())
+  tex_rgb2: Tuple = _field(meta=True, default=())
+  tex_mark: Tuple[int, ...] = _field(meta=True, default=())
+  tex_markrgb: Tuple = _field(meta=True, default=())
+  tex_width: Tuple[int, ...] = _field(meta=True, default=())
+  tex_height: Tuple[int, ...] = _field(meta=True, default=())
+  # (ambient rgb, diffuse rgb, specular rgb, active) — <visual><headlight>
+  vis_headlight: Tuple = _field(
+      meta=True,
+      default=(0.1, 0.1, 0.1, 0.4, 0.4, 0.4, 0.5, 0.5, 0.5, 1.0))
+
   hfield_size: jax.Array = None     # (nhfield, 4) rx ry ztop zbottom
   hfield_data: jax.Array = None     # (sum nrow*ncol,) normalized [0,1]
 

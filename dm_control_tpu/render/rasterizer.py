@@ -416,15 +416,106 @@ def render(m: Model, d: Data, height: int = 240, width: int = 320,
     zdist = best_t * (dirs @ fwd)
     return jnp.where(hit, zdist, 0.0).astype(jnp.float32)
 
-  # shading: headlight diffuse + ambient, geom rgba albedo
+  # ---- appearance resolution (static per geom; material pipeline) ----
+  # A geom whose rgba is still the MJCF default AND that references a
+  # material takes the material's appearance — the reference renderer's
+  # resolution rule (geom rgba overrides material only when specified).
+  ngeom = m.ngeom
+  rgba_np = np.asarray(m.geom_rgba, np.float64)
+  matid = list(m.geom_matid) if len(m.geom_matid) == ngeom else (
+      [-1] * ngeom)
+  albedo_np = rgba_np[:, :3].copy() if ngeom else np.zeros((1, 3))
+  spec_np = np.full(max(ngeom, 1), 0.5)
+  shin_np = np.full(max(ngeom, 1), 0.5)
+  emis_np = np.zeros(max(ngeom, 1))
+  textured = []    # (geom id, texid, repeat, texuniform)
+  for g in range(ngeom):
+    mi = matid[g]
+    if mi < 0 or not np.allclose(rgba_np[g], (0.5, 0.5, 0.5, 1.0)):
+      continue
+    albedo_np[g] = np.asarray(m.mat_rgba[mi][:3])
+    spec_np[g] = m.mat_specular[mi]
+    shin_np[g] = m.mat_shininess[mi]
+    emis_np[g] = m.mat_emission[mi]
+    ti = m.mat_texid[mi]
+    if ti >= 0 and m.tex_builtin[ti] in (2, 3):   # checker / gradient
+      textured.append((g, ti, np.asarray(m.mat_texrepeat[mi]),
+                       int(m.mat_texuniform[mi])))
+
+  # Headlight: DIRECTIONAL along the camera forward axis (calibrated
+  # against oracle EGL renders — a flat floor shades CONSTANT under the
+  # reference headlight, so lambert uses the view axis, not per-pixel
+  # ray directions). ambient/diffuse/specular come from
+  # <visual><headlight> (defaults 0.1/0.4/0.5).
+  hl = np.asarray(m.vis_headlight, np.float64)
+  hl_amb, hl_dif, hl_spec, hl_on = hl[0:3], hl[3:6], hl[6:9], hl[9]
+  if not hl_on:
+    hl_amb = np.full(3, 0.1)
+    hl_dif = np.zeros(3)
+    hl_spec = np.zeros(3)
+  fwd_axis = -cam_mat[:, 2]
   n = best_n / jnp.maximum(
       jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-12)
-  lambert = jnp.abs(jnp.sum(n * -dirs, axis=-1))
-  shade = 0.3 + 0.7 * lambert
-  rgba = jnp.asarray(m.geom_rgba, dtype)
-  albedo = rgba[jnp.clip(best_g, 0, max(m.ngeom - 1, 0))][..., :3]
-  sky = jnp.array([0.3, 0.45, 0.7], dtype=dtype)
-  rgb = jnp.where(hit[..., None], albedo * shade[..., None], sky)
+  lambert = jnp.abs(jnp.sum(n * fwd_axis, axis=-1))
+  gidx = jnp.clip(best_g, 0, max(ngeom - 1, 0))
+  albedo = jnp.asarray(albedo_np, dtype)[gidx]
+
+  # procedural texture sampling at the hit point (builtin checker /
+  # gradient; bitmaps are never stored — the builtins are analytic)
+  if textured:
+    p_world = cam_pos + best_t[..., None] * dirs
+    gsize_np = np.asarray(m.geom_size)
+    for g, ti, rep, uni in textured:
+      lp = (p_world - d.geom_xpos[g]) @ d.geom_xmat[g]
+      if uni:
+        # one repetition of the (2x2-cell) builtin bitmap covers
+        # 2/texrepeat spatial units (calibrated against oracle renders:
+        # texrepeat="1 1" texuniform="true" gives 1-unit checker cells)
+        uv = lp[..., :2] * (jnp.asarray(rep, dtype) * 0.5)
+      else:
+        denom = np.maximum(2.0 * gsize_np[g, :2], 1e-9)
+        uv = (lp[..., :2] / jnp.asarray(denom, dtype) + 0.5
+              ) * jnp.asarray(rep, dtype)
+      rgb1 = jnp.asarray(m.tex_rgb1[ti], dtype)
+      rgb2 = jnp.asarray(m.tex_rgb2[ti], dtype)
+      if m.tex_builtin[ti] == 2:                      # checker
+        fu = uv - jnp.floor(uv)
+        odd = jnp.logical_xor(fu[..., 0] < 0.5, fu[..., 1] < 0.5)
+        tex_rgb = jnp.where(odd[..., None], rgb2, rgb1)
+        if m.tex_mark[ti] == 1:                       # edge mark
+          border = 1.0 / max(m.tex_width[ti], 2)
+          on_edge = ((fu[..., 0] < border) | (fu[..., 0] > 1 - border) |
+                     (fu[..., 1] < border) | (fu[..., 1] > 1 - border))
+          tex_rgb = jnp.where(
+              on_edge[..., None], jnp.asarray(m.tex_markrgb[ti], dtype),
+              tex_rgb)
+      else:                                           # gradient
+        s = jnp.clip(uv[..., 1] - jnp.floor(uv[..., 1]), 0.0, 1.0)
+        tex_rgb = rgb2 + (rgb1 - rgb2) * s[..., None]
+      albedo = jnp.where((best_g == g)[..., None], tex_rgb, albedo)
+
+  # background: black (the reference default), or the model's skybox
+  # gradient sampled by ray elevation (calibrated: s = (1+z)/2 within
+  # a few 1e-2 of the oracle's cube-mapped gradient near the horizon)
+  sky = jnp.zeros(3, dtype=dtype)
+  for ti in range(len(m.tex_type)):
+    if m.tex_type[ti] == 2 and m.tex_builtin[ti] == 3:   # skybox grad
+      rgb1 = jnp.asarray(m.tex_rgb1[ti], dtype)
+      rgb2 = jnp.asarray(m.tex_rgb2[ti], dtype)
+      elev = jnp.clip(0.5 * (1.0 + dirs[..., 2]), 0.0, 1.0)
+      sky = rgb2 + (rgb1 - rgb2) * elev[..., None]
+      break
+
+  spec_g = jnp.asarray(spec_np, dtype)[gidx]
+  shin_g = jnp.asarray(shin_np, dtype)[gidx]
+  emis_g = jnp.asarray(emis_np, dtype)[gidx]
+  shade = (jnp.asarray(hl_amb, dtype) + emis_g[..., None] +
+           jnp.asarray(hl_dif, dtype) * lambert[..., None])
+  spec_term = (jnp.asarray(hl_spec, dtype) * spec_g[..., None] *
+               (lambert ** (1.0 + 127.0 * jnp.clip(shin_g, 0.0, 1.0))
+                )[..., None])
+  rgb = albedo * shade + spec_term
+  rgb = jnp.where(hit[..., None], rgb, sky)
   return (jnp.clip(rgb, 0.0, 1.0) * 255).astype(jnp.uint8)
 
 
