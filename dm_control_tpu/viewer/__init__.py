@@ -11,3 +11,4 @@ from dm_control_tpu.viewer import user_input
 from dm_control_tpu.viewer import util
 from dm_control_tpu.viewer import views
 from dm_control_tpu.viewer.application import Application, launch
+from dm_control_tpu.viewer.web import WebViewer, launch_web
