@@ -11,6 +11,7 @@ episode initialization.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import dm_env
@@ -19,6 +20,8 @@ import numpy as np
 from dm_control_tpu import mjcf
 from dm_control_tpu.composer.observation import updater as updater_lib
 from dm_control_tpu.mujoco import engine as engine_lib
+
+_log = logging.getLogger('dm_control_tpu.composer')
 
 HOOK_NAMES = ('initialize_episode_mjcf', 'after_compile',
               'initialize_episode', 'before_step', 'before_substep',
@@ -97,12 +100,16 @@ class Environment(dm_env.Environment):
         self._strip)
 
   def reset(self) -> dm_env.TimeStep:
+    self._episode_count = getattr(self, '_episode_count', 0) + 1
+    _log.debug('composer episode %d: reset', self._episode_count)
     failures = 0
     while True:
       try:
         return self._reset_attempt()
       except EpisodeInitializationError as e:
         failures += 1
+        _log.warning('episode initialization failed (%d/%d): %s',
+                     failures, self._max_reset_attempts, e)
         if failures >= self._max_reset_attempts:
           raise e
 
@@ -145,6 +152,9 @@ class Environment(dm_env.Environment):
     except engine_lib.PhysicsError:
       if self._raise_on_error:
         raise
+      _log.warning('composer episode %d: physics diverged at step %d; '
+                   'terminating with discount 0',
+                   getattr(self, '_episode_count', 0), self._step_count)
       failed = True
 
     # after_step hooks and the final observation update run even on a

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import abc
 import collections
+import logging
 from typing import Any, Callable, Dict, Optional
 
 import dm_env
@@ -22,6 +23,8 @@ import numpy as np
 
 from dm_control_tpu.models import types
 from dm_control_tpu.ops import forward as forward_ops
+
+_log = logging.getLogger('dm_control_tpu.rl')
 
 FLAT_OBSERVATION_KEY = 'observations'
 
@@ -231,6 +234,9 @@ class Environment(dm_env.Environment):
   def reset(self) -> dm_env.TimeStep:
     self._reset_next_step = False
     self._step_count = 0
+    self._episode_count = getattr(self, '_episode_count', 0) + 1
+    _log.debug('episode %d: reset (previous episode ran %d steps)',
+               self._episode_count, self._step_count)
     self._key, sub = jax.random.split(self._key)
     self._model_current, self._data, obs = self._reset_fn(sub)
     self._sync_view_from_env()
@@ -250,6 +256,9 @@ class Environment(dm_env.Environment):
     self._step_count += 1
 
     if bool(self._data.divergence):
+      _log.warning('episode %d diverged at step %d (NaN/overflow in '
+                   'qpos/qvel/qacc)', getattr(self, '_episode_count', 0),
+                   self._step_count)
       raise PhysicsError(
           'Physics state has become divergent (NaN or overflow).')
 
