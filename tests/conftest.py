@@ -22,5 +22,11 @@ from dm_control_tpu import _cache
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
+# Read-only by default: the XLA:CPU AOT serializer can segfault when a
+# single process that has already compiled hundreds of modules writes
+# another entry (reproduced at ~test 48 of the full lane; never in a
+# fresh process). tools/warm_cache.py populates the cache from short
+# per-file subprocesses, which set DMC_TPU_CACHE_WRITE=1.
 _cache.configure(jax.config, os.path.dirname(os.path.dirname(__file__)),
-                 min_compile_time_secs=1.0)
+                 min_compile_time_secs=1.0,
+                 read_only=os.environ.get('DMC_TPU_CACHE_WRITE') != '1')
